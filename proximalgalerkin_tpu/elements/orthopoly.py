@@ -1,0 +1,255 @@
+"""Orthonormal polynomial bases on reference cells (host-side numpy).
+
+Used to build well-conditioned Vandermonde matrices for nodal (Lagrange)
+element construction — the same strategy Basix uses under the reference
+(tabulate orthonormal basis, invert the Vandermonde at the nodal points).
+
+Simplex bases are the Koornwinder/Dubiner ("PKDO") collapsed-coordinate
+bases with singularity-safe gradient formulas; tensor cells use products of
+Legendre polynomials. All bases are expressed on the *unit* reference cells
+of elements/cells.py.
+"""
+
+from __future__ import annotations
+
+from math import gamma as _gamma
+from typing import Callable, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------- Jacobi
+
+
+def jacobi_p(x: np.ndarray, alpha: float, beta: float, n: int) -> np.ndarray:
+    """Normalized Jacobi polynomial P̂_n^{a,b}(x), orthonormal on [-1,1]
+    w.r.t. weight (1-x)^a (1+x)^b."""
+    x = np.asarray(x, dtype=np.float64)
+    g0 = (2.0 ** (alpha + beta + 1) / (alpha + beta + 1)
+          * _gamma(alpha + 1) * _gamma(beta + 1) / _gamma(alpha + beta + 1))
+    p0 = np.full_like(x, 1.0 / np.sqrt(g0))
+    if n == 0:
+        return p0
+    g1 = (alpha + 1) * (beta + 1) / (alpha + beta + 3) * g0
+    p1 = ((alpha + beta + 2) * x / 2 + (alpha - beta) / 2) / np.sqrt(g1)
+    if n == 1:
+        return p1
+    aold = 2.0 / (2 + alpha + beta) * np.sqrt(
+        (alpha + 1) * (beta + 1) / (alpha + beta + 3))
+    pm1, p = p0, p1
+    for i in range(1, n):
+        h1 = 2 * i + alpha + beta
+        anew = (2.0 / (h1 + 2)) * np.sqrt(
+            (i + 1) * (i + 1 + alpha + beta) * (i + 1 + alpha) * (i + 1 + beta)
+            / ((h1 + 1) * (h1 + 3)))
+        bnew = -(alpha**2 - beta**2) / (h1 * (h1 + 2))
+        pnew = (-aold * pm1 + (x - bnew) * p) / anew
+        pm1, p = p, pnew
+        aold = anew
+    return p
+
+
+def grad_jacobi_p(x: np.ndarray, alpha: float, beta: float, n: int) -> np.ndarray:
+    """d/dx of the normalized Jacobi polynomial."""
+    x = np.asarray(x, dtype=np.float64)
+    if n == 0:
+        return np.zeros_like(x)
+    return np.sqrt(n * (n + alpha + beta + 1)) * jacobi_p(x, alpha + 1, beta + 1, n - 1)
+
+
+# ------------------------------------------------------------- interval
+
+
+def _interval_modes(degree: int, pts: np.ndarray):
+    """Legendre modes on unit interval [0,1]; pts shape (npts, 1)."""
+    t = 2.0 * pts[:, 0] - 1.0
+    nm = degree + 1
+    vals = np.zeros((nm, len(t)))
+    grads = np.zeros((nm, len(t), 1))
+    for n in range(nm):
+        vals[n] = np.sqrt(2.0) * jacobi_p(t, 0.0, 0.0, n)
+        grads[n, :, 0] = 2.0 * np.sqrt(2.0) * grad_jacobi_p(t, 0.0, 0.0, n)
+    return vals, grads
+
+
+# ------------------------------------------------------------- triangle
+
+
+def _rstoab(r: np.ndarray, s: np.ndarray):
+    a = np.where(np.abs(1.0 - s) > 1e-14, 2.0 * (1.0 + r) / np.where(
+        np.abs(1.0 - s) > 1e-14, 1.0 - s, 1.0) - 1.0, -1.0)
+    return a, s
+
+
+def _simplex2d(i: int, j: int, a: np.ndarray, b: np.ndarray):
+    """Dubiner mode and (r,s)-gradients on the biunit triangle."""
+    fa, dfa = jacobi_p(a, 0, 0, i), grad_jacobi_p(a, 0, 0, i)
+    gb, dgb = jacobi_p(b, 2 * i + 1, 0, j), grad_jacobi_p(b, 2 * i + 1, 0, j)
+    half_1mb = 0.5 * (1.0 - b)
+    val = np.sqrt(2.0) * fa * gb * (1.0 - b) ** i
+    dmodedr = dfa * gb
+    if i > 0:
+        dmodedr = dmodedr * half_1mb ** (i - 1)
+    dmodeds = dfa * (gb * (0.5 * (1.0 + a)))
+    if i > 0:
+        dmodeds = dmodeds * half_1mb ** (i - 1)
+    tmp = dgb * half_1mb**i
+    if i > 0:
+        tmp = tmp - 0.5 * i * gb * half_1mb ** (i - 1)
+    dmodeds = dmodeds + fa * tmp
+    scale = 2.0 ** (i + 0.5)
+    return val, dmodedr * scale, dmodeds * scale
+
+
+def _triangle_modes(degree: int, pts: np.ndarray):
+    """PKDO modes on unit triangle; pts shape (npts, 2). Chain rule to the
+    unit triangle: (r,s) = (2x-1, 2y-1) so d/dx = 2 d/dr."""
+    r, s = 2.0 * pts[:, 0] - 1.0, 2.0 * pts[:, 1] - 1.0
+    a, b = _rstoab(r, s)
+    modes = [(i, j) for total in range(degree + 1)
+             for i in range(total + 1) for j in [total - i]]
+    nm = len(modes)
+    vals = np.zeros((nm, len(r)))
+    grads = np.zeros((nm, len(r), 2))
+    # biunit -> unit triangle: values scale by sqrt(|detJ|)=2 for unit
+    # orthonormality; gradients additionally pick up the chain-rule factor 2.
+    for m, (i, j) in enumerate(modes):
+        v, dr, ds = _simplex2d(i, j, a, b)
+        vals[m] = 2.0 * v
+        grads[m, :, 0] = 4.0 * dr
+        grads[m, :, 1] = 4.0 * ds
+    return vals, grads
+
+
+# ---------------------------------------------------------- tetrahedron
+
+
+def _rsttoabc(r, s, t):
+    denom_a = -(s + t)
+    a = np.where(np.abs(denom_a) > 1e-14,
+                 2.0 * (1.0 + r) / np.where(np.abs(denom_a) > 1e-14, denom_a, 1.0) - 1.0,
+                 -1.0)
+    denom_b = 1.0 - t
+    b = np.where(np.abs(denom_b) > 1e-14,
+                 2.0 * (1.0 + s) / np.where(np.abs(denom_b) > 1e-14, denom_b, 1.0) - 1.0,
+                 -1.0)
+    return a, b, t
+
+
+def _simplex3d(i: int, j: int, k: int, a, b, c):
+    fa, dfa = jacobi_p(a, 0, 0, i), grad_jacobi_p(a, 0, 0, i)
+    gb, dgb = jacobi_p(b, 2 * i + 1, 0, j), grad_jacobi_p(b, 2 * i + 1, 0, j)
+    hc, dhc = jacobi_p(c, 2 * (i + j) + 2, 0, k), grad_jacobi_p(c, 2 * (i + j) + 2, 0, k)
+    hb, hcb = 0.5 * (1.0 - b), 0.5 * (1.0 - c)
+    val = 2.0 * np.sqrt(2.0) * fa * gb * (1.0 - b) ** i * hc * (1.0 - c) ** (i + j)
+
+    v3dr = dfa * (gb * hc)
+    if i > 0:
+        v3dr = v3dr * hb ** (i - 1)
+    if i + j > 0:
+        v3dr = v3dr * hcb ** (i + j - 1)
+
+    v3ds = 0.5 * (1.0 + a) * v3dr
+    tmp = dgb * hb**i
+    if i > 0:
+        tmp = tmp - 0.5 * i * gb * hb ** (i - 1)
+    if i + j > 0:
+        tmp = tmp * hcb ** (i + j - 1)
+    tmp = fa * (tmp * hc)
+    v3ds = v3ds + tmp
+
+    v3dt = 0.5 * (1.0 + a) * v3dr + 0.5 * (1.0 + b) * tmp
+    tmp2 = dhc * hcb ** (i + j)
+    if i + j > 0:
+        tmp2 = tmp2 - 0.5 * (i + j) * hc * hcb ** (i + j - 1)
+    tmp2 = fa * (gb * tmp2) * hb**i
+    v3dt = v3dt + tmp2
+
+    scale = 2.0 ** (2 * i + j + 1.5)
+    return val, v3dr * scale, v3ds * scale, v3dt * scale
+
+
+def _tetrahedron_modes(degree: int, pts: np.ndarray):
+    r, s, t = 2 * pts[:, 0] - 1, 2 * pts[:, 1] - 1, 2 * pts[:, 2] - 1
+    a, b, c = _rsttoabc(r, s, t)
+    modes = [(i, j, k) for total in range(degree + 1)
+             for i in range(total + 1) for j in range(total - i + 1)
+             for k in [total - i - j]]
+    nm = len(modes)
+    vals = np.zeros((nm, len(r)))
+    grads = np.zeros((nm, len(r), 3))
+    # biunit -> unit tet: sqrt(|detJ|)=2*sqrt(2) value scale; chain factor 2.
+    sv = 2.0 * np.sqrt(2.0)
+    for m, (i, j, k) in enumerate(modes):
+        v, dr, ds, dt = _simplex3d(i, j, k, a, b, c)
+        vals[m] = sv * v
+        grads[m, :, 0] = 2.0 * sv * dr
+        grads[m, :, 1] = 2.0 * sv * ds
+        grads[m, :, 2] = 2.0 * sv * dt
+    return vals, grads
+
+
+# ---------------------------------------------------------- tensor cells
+
+
+def _tensor_modes(degree: int, pts: np.ndarray, dim: int):
+    """Tensor-product Legendre modes on unit quad/hex."""
+    per_axis = []
+    for d in range(dim):
+        v1, g1 = _interval_modes(degree, pts[:, d:d + 1])
+        per_axis.append((v1, g1[:, :, 0]))
+    modes = [(i, j) for i in range(degree + 1) for j in range(degree + 1)] \
+        if dim == 2 else \
+        [(i, j, k) for i in range(degree + 1)
+         for j in range(degree + 1) for k in range(degree + 1)]
+    nm = len(modes)
+    vals = np.zeros((nm, pts.shape[0]))
+    grads = np.zeros((nm, pts.shape[0], dim))
+    for m, idx in enumerate(modes):
+        v = np.ones(pts.shape[0])
+        for d, n in enumerate(idx):
+            v = v * per_axis[d][0][n]
+        vals[m] = v
+        for dd in range(dim):
+            g = np.ones(pts.shape[0])
+            for d, n in enumerate(idx):
+                g = g * (per_axis[d][1][n] if d == dd else per_axis[d][0][n])
+            grads[m, :, dd] = g
+    return vals, grads
+
+
+# --------------------------------------------------------------- public
+
+
+def num_modes(cell_name: str, degree: int) -> int:
+    if cell_name == "interval":
+        return degree + 1
+    if cell_name == "triangle":
+        return (degree + 1) * (degree + 2) // 2
+    if cell_name == "tetrahedron":
+        return (degree + 1) * (degree + 2) * (degree + 3) // 6
+    if cell_name == "quadrilateral":
+        return (degree + 1) ** 2
+    if cell_name == "hexahedron":
+        return (degree + 1) ** 3
+    raise ValueError(cell_name)
+
+
+def tabulate_orthonormal(cell_name: str, degree: int,
+                         points: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Tabulate the orthonormal basis: values (nmodes, npts) and gradients
+    (nmodes, npts, dim) at `points` on the unit reference cell."""
+    points = np.asarray(points, dtype=np.float64)
+    if points.ndim == 1:
+        points = points[:, None]
+    if cell_name == "interval":
+        return _interval_modes(degree, points)
+    if cell_name == "triangle":
+        return _triangle_modes(degree, points)
+    if cell_name == "tetrahedron":
+        return _tetrahedron_modes(degree, points)
+    if cell_name == "quadrilateral":
+        return _tensor_modes(degree, points, 2)
+    if cell_name == "hexahedron":
+        return _tensor_modes(degree, points, 3)
+    raise ValueError(cell_name)
