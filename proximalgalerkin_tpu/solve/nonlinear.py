@@ -1,0 +1,87 @@
+"""Nonlinear problem: couples a VolumeForm with Dirichlet BCs into the
+residual/Jacobian operators the Newton solver consumes.
+
+Mirrors the role of `lvpp.SNESProblem` (reference src/lvpp/problem.py:14-77):
+BC-consistent residual (F[bc] = x[bc] - g, zero once x satisfies the BC) and
+symmetric BC treatment of the Jacobian (zeroed bc rows/columns, identity on
+the bc diagonal) — for both the matrix-free action and assembled matrices.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..assembly.assemble import VolumeForm
+from ..spaces.space import DirichletBC
+
+
+class NonlinearProblem:
+    def __init__(self, form: VolumeForm, bcs: Sequence[DirichletBC] = (),
+                 coeffs: Optional[Mapping] = None,
+                 consts: Optional[Mapping] = None):
+        self.form = form
+        self.space = form.space
+        bc_idx, bc_vals = self.space.global_bc_arrays(list(bcs))
+        self.bc_idx = jnp.asarray(bc_idx)
+        self.bc_vals = jnp.asarray(bc_vals, form.dtype)
+        self.coeffs = dict(coeffs or {})
+        self.consts = dict(consts or {})
+
+    # -------------------------------------------------------------- data
+
+    def update(self, coeffs: Optional[Mapping] = None,
+               consts: Optional[Mapping] = None):
+        if coeffs:
+            self.coeffs.update(coeffs)
+        if consts:
+            self.consts.update(consts)
+
+    # ---------------------------------------------------------------- BC
+
+    def set_bc(self, x):
+        """Overwrite bc dofs with their prescribed values."""
+        return jnp.asarray(x, self.form.dtype).at[self.bc_idx].set(self.bc_vals)
+
+    def zero_bc(self, v):
+        return v.at[self.bc_idx].set(0.0)
+
+    # --------------------------------------------------------- operators
+
+    def residual(self, x):
+        """BC-consistent residual: interior rows from the form, bc rows
+        x[bc] - g (SNES set_bc convention, problem.py:67)."""
+        F = self.form.residual(x, self.coeffs, self.consts)
+        return F.at[self.bc_idx].set(x[self.bc_idx] - self.bc_vals)
+
+    def jacobian_action(self, x):
+        """Returns the matrix-free operator v -> J(x) v with symmetric BC
+        handling: J_mod = P J P + (I - P), P zeroing bc entries."""
+        coeffs, consts = self.coeffs, self.consts
+        form = self.form
+
+        def Av(v):
+            w = self.zero_bc(v)
+            y = form.jacobian_action(x, w, coeffs, consts)
+            y = self.zero_bc(y)
+            return y.at[self.bc_idx].add(v[self.bc_idx])
+
+        return Av
+
+    def jacobian_scipy(self, x):
+        """Assembled CSR with bc rows/cols zeroed and unit diagonal."""
+        import scipy.sparse as sp
+        A = self.form.assemble_scipy(x, self.coeffs, self.consts).tolil()
+        idx = np.asarray(self.bc_idx)
+        if len(idx):
+            A[idx, :] = 0.0
+            A[:, idx] = 0.0
+            A[idx, idx] = 1.0
+        return A.tocsr()
+
+    def jacobian_diagonal(self, x):
+        d = self.form.jacobian_diagonal(x, self.coeffs, self.consts)
+        return d.at[self.bc_idx].set(1.0)

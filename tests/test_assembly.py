@@ -1,0 +1,169 @@
+"""End-to-end validation of mesh → dofmap → assembly → solve on Poisson."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from proximalgalerkin_tpu.mesh import unit_square_mesh, unit_cube_mesh
+from proximalgalerkin_tpu.spaces import FunctionSpace, MixedSpace, DirichletBC
+from proximalgalerkin_tpu.assembly import VolumeForm
+from proximalgalerkin_tpu.solve import NonlinearProblem, NewtonSolver
+from proximalgalerkin_tpu.core import SolverOptions
+from proximalgalerkin_tpu.elements import lagrange_element
+
+
+def test_mesh_topology():
+    mesh = unit_square_mesh(4, 4)
+    assert mesh.num_cells == 32
+    assert mesh.points.shape == (25, 2)
+    # 2*nx*ny quads split in 2 -> Euler: V - E + F = 1 for disk
+    nfacets = mesh.num_facets
+    assert len(mesh.exterior_facets) == 16
+    assert 25 - nfacets + 32 == 1
+    left = mesh.locate_entities_boundary(lambda x: np.isclose(x[0], 0.0))
+    assert len(left) == 4
+
+
+@pytest.mark.parametrize("diag", ["right", "left", "crossed"])
+def test_mesh_diagonals(diag):
+    mesh = unit_square_mesh(3, 3, diagonal=diag)
+    areas = []
+    pts = mesh.points[mesh.cell_vertices]
+    v1 = pts[:, 1] - pts[:, 0]
+    v2 = pts[:, 2] - pts[:, 0]
+    area = 0.5 * np.abs(v1[:, 0] * v2[:, 1] - v1[:, 1] * v2[:, 0])
+    assert np.isclose(area.sum(), 1.0)
+
+
+@pytest.mark.parametrize("cell,degree", [
+    ("triangle", 2), ("triangle", 3), ("triangle", 4),
+    ("quadrilateral", 2), ("quadrilateral", 3),
+    ("tetrahedron", 2), ("hexahedron", 2),
+])
+def test_dofmap_continuity(cell, degree):
+    """Physical dof points computed from each adjacent cell must agree —
+    verifies edge/facet orientation handling at any degree."""
+    if cell in ("triangle", "quadrilateral"):
+        mesh = unit_square_mesh(3, 3, cell_type=cell)
+    else:
+        mesh = unit_cube_mesh(2, 2, 2, cell_type=cell)
+    fs = FunctionSpace.create(mesh, degree)
+    el = fs.element
+    geo = lagrange_element(mesh.cell_type, 1)
+    phi, _ = geo.tabulate(el.points)
+    xcell = np.einsum("ng,cgd->cnd", phi, mesh.points[mesh.cells])
+    # for every global dof, all (cell, local) occurrences must give same point
+    seen = {}
+    dm = fs.dofmap
+    for c in range(mesh.num_cells):
+        for i in range(el.ndof):
+            g = dm[c, i]
+            p = tuple(np.round(xcell[c, i], 10))
+            if g in seen:
+                assert seen[g] == p, (cell, degree, g, seen[g], p)
+            else:
+                seen[g] = p
+    assert len(seen) == fs.num_scalar_dofs
+
+
+def _poisson_error(n, degree, cell="triangle"):
+    """Solve -Δu = f, u = u_exact on boundary; return L2 error."""
+    mesh = unit_square_mesh(n, n, cell_type=cell)
+    fs = FunctionSpace.create(mesh, degree)
+    space = MixedSpace([("u", fs)])
+
+    def u_exact(x):
+        return np.sin(np.pi * x[0]) * np.sin(np.pi * x[1])
+
+    def residual(x, u, gu, c, gc, consts):
+        f = 2.0 * jnp.pi**2 * jnp.sin(jnp.pi * x[0]) * jnp.sin(jnp.pi * x[1])
+        return {"u": (-f, gu["u"])}
+
+    form = VolumeForm(space, residual, quadrature_degree=2 * degree + 2)
+    bc = DirichletBC.from_marker("u", fs, value=0.0)
+    prob = NonlinearProblem(form, [bc])
+    opts = SolverOptions({"snes_max_it": 5, "snes_rtol": 1e-12,
+                          "ksp_type": "preonly", "pc_type": "lu"})
+    res = NewtonSolver(prob, opts).solve(space.zeros())
+    assert res.converged, res.reason
+
+    err_fn = form.make_functional(
+        lambda x, u, gu, c, gc, k:
+        (u["u"] - jnp.sin(jnp.pi * x[0]) * jnp.sin(jnp.pi * x[1])) ** 2)
+    return float(np.sqrt(err_fn(res.x)))
+
+
+@pytest.mark.parametrize("degree,expected_order", [(1, 2.0), (2, 3.0), (3, 4.0)])
+def test_poisson_convergence(degree, expected_order):
+    e1 = _poisson_error(4, degree)
+    e2 = _poisson_error(8, degree)
+    order = np.log2(e1 / e2)
+    assert order > expected_order - 0.25, (degree, e1, e2, order)
+
+
+def test_poisson_quads():
+    e1 = _poisson_error(4, 2, cell="quadrilateral")
+    e2 = _poisson_error(8, 2, cell="quadrilateral")
+    assert np.log2(e1 / e2) > 2.7
+
+
+def test_matrix_free_matches_assembled():
+    """jvp-based Jacobian action == assembled matrix action (nonlinear form)."""
+    mesh = unit_square_mesh(4, 4)
+    fs = FunctionSpace.create(mesh, 1)
+    space = MixedSpace([("u", fs), ("psi", fs)])
+
+    def residual(x, u, gu, c, gc, consts):
+        al = consts["alpha"]
+        return {"u": (u["psi"], al * gu["u"]),
+                "psi": (u["u"] - jnp.exp(u["psi"]), None)}
+
+    form = VolumeForm(space, residual, quadrature_degree=4)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=space.num_dofs) * 0.1)
+    v = jnp.asarray(rng.normal(size=space.num_dofs))
+    consts = {"alpha": jnp.asarray(2.5)}
+    Av_free = form.jacobian_action(x, v, {}, consts)
+    A = form.assemble_scipy(x, {}, consts)
+    Av_mat = A @ np.asarray(v)
+    assert np.allclose(np.asarray(Av_free), Av_mat, atol=1e-10)
+    # diagonal extraction
+    d = form.jacobian_diagonal(x, {}, consts)
+    assert np.allclose(np.asarray(d), A.diagonal(), atol=1e-10)
+
+
+def test_krylov_matches_lu():
+    mesh = unit_square_mesh(6, 6)
+    fs = FunctionSpace.create(mesh, 1)
+    space = MixedSpace([("u", fs)])
+
+    def residual(x, u, gu, c, gc, consts):
+        return {"u": (-1.0 + u["u"], gu["u"])}  # -Δu + u = 1
+
+    form = VolumeForm(space, residual, quadrature_degree=3)
+    bc = DirichletBC.from_marker("u", fs, value=0.0)
+    x_lu = NewtonSolver(NonlinearProblem(form, [bc]), SolverOptions(
+        {"ksp_type": "preonly", "pc_type": "lu", "snes_rtol": 1e-12}
+    )).solve(space.zeros()).x
+    x_cg = NewtonSolver(NonlinearProblem(form, [bc]), SolverOptions(
+        {"ksp_type": "cg", "pc_type": "jacobi", "ksp_rtol": 1e-12,
+         "snes_rtol": 1e-12}
+    )).solve(space.zeros()).x
+    x_mr = NewtonSolver(NonlinearProblem(form, [bc]), SolverOptions(
+        {"ksp_type": "minres", "pc_type": "jacobi", "ksp_rtol": 1e-12,
+         "snes_rtol": 1e-12}
+    )).solve(space.zeros()).x
+    assert np.allclose(np.asarray(x_lu), np.asarray(x_cg), atol=1e-8)
+    assert np.allclose(np.asarray(x_lu), np.asarray(x_mr), atol=1e-7)
+
+
+def test_interpolation_and_functional():
+    mesh = unit_square_mesh(8, 8)
+    fs = FunctionSpace.create(mesh, 2)
+    space = MixedSpace([("u", fs)])
+    form = VolumeForm(space, lambda *a: {"u": (0.0, None)}, quadrature_degree=4)
+    z = fs.interpolate(lambda x: x[0] ** 2 + x[1])
+    integral = form.make_functional(lambda x, u, gu, c, gc, k: u["u"])(
+        jnp.asarray(z))
+    assert np.isclose(float(integral), 1.0 / 3.0 + 0.5, atol=1e-12)
