@@ -313,15 +313,44 @@ class VolumeForm:
         A = sp.coo_matrix((Ae.reshape(-1), (rows, cols)), shape=(N, N))
         return A.tocsr()
 
+    def _diagonal_core(self, x, coeffs, consts):
+        """Jacobian diagonal without materializing element matrices —
+        O(ncells * nq * m^2 * d^2) memory, the Jacobi-preconditioner path
+        for large (1M-DoF) systems."""
+        x = jnp.asarray(x, self.dtype)
+        vals, grads = {}, {}
+        for f in self.space.names:
+            vals[f], grads[f] = self._eval_field(f, x)
+        cv, cg = self._prepare_coeffs(coeffs)
+
+        def pw_jac(xq, sv, sg, cvq, cgq):
+            return jax.jacfwd(lambda s: self._pointwise(
+                xq, s[0], s[1], cvq, cgq, consts))((sv, sg))
+
+        K = jax.vmap(jax.vmap(pw_jac))(self.xq, vals, grads, cv, cg)
+        w = self.wdet
+        out = jnp.zeros(self.space.num_dofs, self.dtype)
+        for f in self.space.names:
+            phi, dphi = self.tab[f]
+            gphi = jnp.einsum("eqdt,qit->eqid", self.G, dphi)
+            (K0, K1) = K[f]
+            # diagonal (a == b) slices of the f-f block
+            K00d = jnp.einsum("eqaa->eqa", K0[0][f])
+            K01d = jnp.einsum("eqaad->eqad", K0[1][f])
+            K10d = jnp.einsum("eqada->eqad", K1[0][f])
+            K11d = jnp.einsum("eqadac->eqadc", K1[1][f])
+            t1 = jnp.einsum("qi,qi,eq,eqa->eia", phi, phi, w, K00d)
+            t2 = jnp.einsum("qi,eqid,eq,eqad->eia", phi, gphi, w, K01d + K10d)
+            t4 = jnp.einsum("eqid,eqadc,eq,eqic->eia", gphi, K11d, w, gphi)
+            d = t1 + t2 + t4                         # (e, i, a)
+            out = out.at[self.gather_idx[f].reshape(-1)].add(d.reshape(-1))
+        return out
+
     @cached_property
     def _diag_jit(self):
         @jax.jit
         def diag(x, coeffs, consts):
-            Ae = self._element_matrices_core(x, coeffs, consts)
-            d = jnp.diagonal(Ae, axis1=1, axis2=2)   # (e, L)
-            out = jnp.zeros(self.space.num_dofs, self.dtype)
-            return out.at[jnp.asarray(self.local_indices).reshape(-1)
-                          ].add(d.reshape(-1))
+            return self._diagonal_core(x, coeffs, consts)
         return diag
 
     def jacobian_diagonal(self, x, coeffs=None, consts=None) -> jnp.ndarray:

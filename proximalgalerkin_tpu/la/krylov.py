@@ -38,7 +38,6 @@ def bicgstab(A: Callable, b, x0=None, *, tol=1e-10, atol=0.0, maxiter=10_000,
     return x
 
 
-@partial(jax.jit, static_argnums=(0, 5))
 def _minres_impl(A, b, x0, rtol, atol, maxiter, Minv_diag):
     """Preconditioned MINRES (Paige & Saunders) with a diagonal (Jacobi)
     preconditioner given as a vector of inverse diagonal entries (or ones).
@@ -126,13 +125,17 @@ def _minres_impl(A, b, x0, rtol, atol, maxiter, Minv_diag):
 
 def minres(A: Callable, b, x0=None, *, tol=1e-10, atol=0.0, maxiter=10_000,
            Minv_diag=None):
-    """MINRES with optional inverse-diagonal (Jacobi) preconditioning."""
+    """MINRES with optional inverse-diagonal (Jacobi) preconditioning.
+
+    Pure function of traced values — usable inside an enclosing jit (the
+    NewtonSolver compiles one fused Newton-direction kernel per option set).
+    """
     if x0 is None:
         x0 = jnp.zeros_like(b)
     if Minv_diag is None:
         Minv_diag = jnp.ones_like(b)
     x, rnorm, its = _minres_impl(A, b, x0, jnp.asarray(tol, b.dtype),
-                                 jnp.asarray(atol, b.dtype), int(maxiter),
+                                 jnp.asarray(atol, b.dtype), maxiter,
                                  Minv_diag)
     return x
 

@@ -56,33 +56,18 @@ class NewtonSolver:
         opts = self.options
         ksp = opts.opt("ksp_type")
         pc = opts.opt("pc_type")
-        b = -F
         if ksp == "preonly" or pc == "lu":
             with self.timer.phase("linear_solve_lu"):
                 A = self.problem.jacobian_scipy(x)
-                dx = LUFactorization(A).solve(np.asarray(b))
-            return jnp.asarray(dx, b.dtype)
-        Av = self.problem.jacobian_action(x)
-        kw = dict(tol=float(opts.opt("ksp_rtol")),
-                  atol=float(opts.opt("ksp_atol")),
-                  maxiter=int(opts.opt("ksp_max_it")))
-        M = None
-        if pc == "jacobi":
-            d = self.problem.jacobian_diagonal(x)
-            dinv = jnp.where(jnp.abs(d) > 1e-300, 1.0 / d, 1.0)
-            if ksp == "minres":
-                # MINRES needs an SPD preconditioner
-                dinv = jnp.abs(dinv)
-                kw["Minv_diag"] = dinv
-            else:
-                M = lambda v: dinv * v
-        if ksp == "minres":
-            with self.timer.phase("linear_solve_krylov"):
-                return KRYLOV["minres"](Av, b, **kw)
-        if M is not None:
-            kw["M"] = M
+                dx = LUFactorization(A).solve(np.asarray(-F))
+            return jnp.asarray(dx, F.dtype)
+        step = self.problem.direction_solver(ksp, pc)
         with self.timer.phase("linear_solve_krylov"):
-            return KRYLOV[ksp](Av, b, **kw)
+            dx = step(x, F, self.problem.coeffs, self.problem.consts,
+                      float(opts.opt("ksp_rtol")), float(opts.opt("ksp_atol")),
+                      int(opts.opt("ksp_max_it")))
+            dx.block_until_ready()
+        return dx
 
     # -------------------------------------------------------- linesearch
 

@@ -30,6 +30,7 @@ class NonlinearProblem:
         self.bc_vals = jnp.asarray(bc_vals, form.dtype)
         self.coeffs = dict(coeffs or {})
         self.consts = dict(consts or {})
+        self._direction_cache = {}
 
     # -------------------------------------------------------------- data
 
@@ -70,6 +71,56 @@ class NonlinearProblem:
             return y.at[self.bc_idx].add(v[self.bc_idx])
 
         return Av
+
+    def direction_solver(self, ksp: str, pc: str):
+        """One fused, jitted Newton-direction kernel per (ksp, pc) pair:
+        (x, F, coeffs, consts, rtol, atol, maxiter) -> dx solving
+        J(x) dx = -F entirely on device (matrix-free jvp inside Krylov).
+        Compiled once per shape set — no per-step retracing."""
+        key = (ksp, pc)
+        if key in self._direction_cache:
+            return self._direction_cache[key]
+
+        from ..la import krylov as kry
+        form = self.form
+        bc_idx, bc_vals = self.bc_idx, self.bc_vals
+
+        def direction(x, F, coeffs, consts, rtol, atol, maxiter):
+            def Av(v):
+                w = v.at[bc_idx].set(0.0)
+                f = lambda y: form._residual_core(y, coeffs, consts)
+                y = jax.jvp(f, (x,), (w,))[1]
+                y = y.at[bc_idx].set(0.0)
+                return y.at[bc_idx].add(v[bc_idx])
+
+            b = -F
+            if pc == "jacobi":
+                d = form._diagonal_core(x, coeffs, consts)
+                d = d.at[bc_idx].set(1.0)
+                dinv = jnp.where(jnp.abs(d) > 1e-300, 1.0 / d, 1.0)
+            else:
+                dinv = jnp.ones_like(b)
+            if ksp == "minres":
+                return kry.minres(Av, b, tol=rtol, atol=atol, maxiter=maxiter,
+                                  Minv_diag=jnp.abs(dinv))
+            M = (lambda v: dinv * v) if pc == "jacobi" else None
+            if ksp == "cg":
+                xs, _ = jax.scipy.sparse.linalg.cg(
+                    Av, b, tol=rtol, atol=atol, maxiter=maxiter, M=M)
+            elif ksp == "gmres":
+                xs, _ = jax.scipy.sparse.linalg.gmres(
+                    Av, b, tol=rtol, atol=atol, maxiter=maxiter, M=M,
+                    restart=30, solve_method="batched")
+            elif ksp == "bicgstab":
+                xs, _ = jax.scipy.sparse.linalg.bicgstab(
+                    Av, b, tol=rtol, atol=atol, maxiter=maxiter, M=M)
+            else:
+                raise ValueError(f"unknown ksp_type {ksp!r}")
+            return xs
+
+        fn = jax.jit(direction, static_argnames=("maxiter",))
+        self._direction_cache[key] = fn
+        return fn
 
     def jacobian_scipy(self, x):
         """Assembled CSR with bc rows/cols zeroed and unit diagonal."""
