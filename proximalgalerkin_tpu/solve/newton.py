@@ -61,7 +61,8 @@ class NewtonSolver:
                 A = self.problem.jacobian_scipy(x)
                 dx = LUFactorization(A).solve(np.asarray(-F))
             return jnp.asarray(dx, F.dtype)
-        step = self.problem.direction_solver(ksp, pc)
+        step = self.problem.direction_solver(
+            ksp, pc, str(opts.opt("mat_type", "ell")))
         with self.timer.phase("linear_solve_krylov"):
             dx = step(x, F, self.problem.coeffs, self.problem.consts,
                       float(opts.opt("ksp_rtol")), float(opts.opt("ksp_atol")),

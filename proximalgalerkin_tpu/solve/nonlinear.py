@@ -72,31 +72,56 @@ class NonlinearProblem:
 
         return Av
 
-    def direction_solver(self, ksp: str, pc: str):
-        """One fused, jitted Newton-direction kernel per (ksp, pc) pair:
+    @property
+    def ell_matrix(self):
+        """Lazily-built ELL operator (pattern on host, data assembled on
+        device per Newton step) — the PETSc-AIJ replacement."""
+        if not hasattr(self, "_ell"):
+            from ..la.ell import EllMatrix, EllPattern
+            pattern = EllPattern.build(self.form.local_indices,
+                                       self.space.num_dofs,
+                                       np.asarray(self.bc_idx))
+            self._ell = EllMatrix(pattern, self.form.dtype)
+        return self._ell
+
+    def direction_solver(self, ksp: str, pc: str, mat_type: str = "ell"):
+        """One fused, jitted Newton-direction kernel per option set:
         (x, F, coeffs, consts, rtol, atol, maxiter) -> dx solving
-        J(x) dx = -F entirely on device (matrix-free jvp inside Krylov).
+        J(x) dx = -F entirely on device. mat_type 'ell' assembles the
+        Jacobian once into an ELL matrix (cheap SpMV per Krylov iteration);
+        'matfree' re-applies the jvp of the residual each iteration.
         Compiled once per shape set — no per-step retracing."""
-        key = (ksp, pc)
+        key = (ksp, pc, mat_type)
         if key in self._direction_cache:
             return self._direction_cache[key]
 
         from ..la import krylov as kry
         form = self.form
         bc_idx, bc_vals = self.bc_idx, self.bc_vals
+        ell = self.ell_matrix if mat_type == "ell" else None
 
         def direction(x, F, coeffs, consts, rtol, atol, maxiter):
-            def Av(v):
-                w = v.at[bc_idx].set(0.0)
-                f = lambda y: form._residual_core(y, coeffs, consts)
-                y = jax.jvp(f, (x,), (w,))[1]
-                y = y.at[bc_idx].set(0.0)
-                return y.at[bc_idx].add(v[bc_idx])
+            if mat_type == "ell":
+                Ae = form._element_matrices_core(x, coeffs, consts)
+                data = ell.assemble(Ae)
+
+                def Av(v):
+                    return ell.spmv(data, v)
+            else:
+                def Av(v):
+                    w = v.at[bc_idx].set(0.0)
+                    f = lambda y: form._residual_core(y, coeffs, consts)
+                    y = jax.jvp(f, (x,), (w,))[1]
+                    y = y.at[bc_idx].set(0.0)
+                    return y.at[bc_idx].add(v[bc_idx])
 
             b = -F
             if pc == "jacobi":
-                d = form._diagonal_core(x, coeffs, consts)
-                d = d.at[bc_idx].set(1.0)
+                if mat_type == "ell":
+                    d = ell.diagonal(data)
+                else:
+                    d = form._diagonal_core(x, coeffs, consts)
+                    d = d.at[bc_idx].set(1.0)
                 dinv = jnp.where(jnp.abs(d) > 1e-300, 1.0 / d, 1.0)
             else:
                 dinv = jnp.ones_like(b)
