@@ -12,8 +12,13 @@ src/lvpp/problem.py:54-77). Design:
     XLA fuses the elementwise physics into the contractions.
   * The Jacobian never needs to be materialized: its action is the jvp of
     the assembled residual (cost ≈ 2 residuals), feeding matrix-free Krylov.
-    Explicit element matrices / scipy CSR are available for the host sparse
-    LU fallback (standing in for MUMPS) and for preconditioners.
+    Explicit element matrices / ELL / scipy CSR are available for the
+    device Krylov operator, the host sparse LU fallback (standing in for
+    MUMPS), and preconditioners.
+  * All large per-cell arrays (quadrature geometry, gather indices,
+    coefficients) are threaded through jitted kernels as runtime arguments,
+    never closure constants — capturing them would embed hundreds of MB as
+    XLA constants and trigger pathological constant folding at 1M+ DoF.
 
 Residual convention: for test function v of field f,
     F_f(v) = ∫ a0_f · v + a1_f : grad(v) dx
@@ -23,8 +28,8 @@ where the user's pointwise function returns {field: (a0, a1)} given
 
 from __future__ import annotations
 
-from functools import cached_property, partial
-from typing import Callable, Dict, Mapping, Optional, Sequence, Tuple
+from functools import cached_property
+from typing import Callable, Dict, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -78,69 +83,92 @@ class VolumeForm:
         self.qpts, self.qw = cell_quadrature(mesh.cell_type, quadrature_degree)
         self.nq = len(self.qw)
         geom = cell_geometry(mesh, self.qpts, self.qw)
-        self.xq = jnp.asarray(geom.x, dtype)         # (e, q, gdim)
-        self.wdet = jnp.asarray(geom.wdet, dtype)    # (e, q)
-        self.G = jnp.asarray(geom.G, dtype)          # (e, q, gdim, tdim)
         self.gdim, self.tdim = mesh.gdim, mesh.tdim
 
-        # basis tables and gather/scatter indices per field
+        # small basis tables (kept as closure constants — a few KB)
         self.tab: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
-        self.gather_idx: Dict[str, jnp.ndarray] = {}
         self.field_m: Dict[str, int] = {}
+        self.coeff_tab: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+        self.coeff_m: Dict[str, int] = {}
+
+        # big per-cell arrays: threaded as runtime args through every kernel
+        gather_idx: Dict[str, jnp.ndarray] = {}
+        coeff_idx: Dict[str, jnp.ndarray] = {}
         for name in space.names:
             fs = space.spaces[name]
-            self._register(name, fs, space.offsets[name])
-        # coefficient spaces may reuse field tables or bring their own
-        self.coeff_tab: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
-        self.coeff_idx: Dict[str, jnp.ndarray] = {}
-        self.coeff_m: Dict[str, int] = {}
-        for name, fs in self.coeff_spaces.items():
-            if isinstance(fs, MixedSpace):
-                continue  # handled at call time via its own VolumeForm
             phi, dphi = fs.element.tabulate(self.qpts)
-            self.coeff_tab[name] = (jnp.asarray(phi, dtype), jnp.asarray(dphi, dtype))
+            self.tab[name] = (jnp.asarray(phi, dtype), jnp.asarray(dphi, dtype))
             m = fs.value_size
+            self.field_m[name] = m
+            dm = fs.dofmap.astype(np.int64)
+            idx = (space.offsets[name] + dm[:, :, None] * m
+                   + np.arange(m)[None, None, :])
+            gather_idx[name] = jnp.asarray(idx.astype(np.int32))
+        for name, fs in self.coeff_spaces.items():
+            phi, dphi = fs.element.tabulate(self.qpts)
+            self.coeff_tab[name] = (jnp.asarray(phi, dtype),
+                                    jnp.asarray(dphi, dtype))
+            m = fs.value_size
+            self.coeff_m[name] = m
             dm = fs.dofmap.astype(np.int64)
             idx = dm[:, :, None] * m + np.arange(m)[None, None, :]
-            self.coeff_idx[name] = jnp.asarray(idx.astype(np.int32))
-            self.coeff_m[name] = m
+            coeff_idx[name] = jnp.asarray(idx.astype(np.int32))
 
-    def _register(self, name: str, fs: FunctionSpace, offset: int):
-        phi, dphi = fs.element.tabulate(self.qpts)   # (q, i), (q, i, tdim)
-        self.tab[name] = (jnp.asarray(phi, self.dtype),
-                          jnp.asarray(dphi, self.dtype))
-        m = fs.value_size
-        dm = fs.dofmap.astype(np.int64)
-        idx = offset + dm[:, :, None] * m + np.arange(m)[None, None, :]
-        self.gather_idx[name] = jnp.asarray(idx.astype(np.int32))  # (e, i, m)
-        self.field_m[name] = m
+        self.cell_data: Dict[str, object] = {
+            "xq": jnp.asarray(geom.x, dtype),       # (e, q, gdim)
+            "wdet": jnp.asarray(geom.wdet, dtype),  # (e, q)
+            "G": jnp.asarray(geom.G, dtype),        # (e, q, gdim, tdim)
+            "gather_idx": gather_idx,               # {f: (e, i, m)}
+            "coeff_idx": coeff_idx,                 # {c: (e, i, m)}
+        }
+
+    # convenience accessors (host-side use)
+    @property
+    def xq(self):
+        return self.cell_data["xq"]
+
+    @property
+    def wdet(self):
+        return self.cell_data["wdet"]
+
+    @property
+    def G(self):
+        return self.cell_data["G"]
+
+    @property
+    def gather_idx(self):
+        return self.cell_data["gather_idx"]
+
+    @property
+    def coeff_idx(self):
+        return self.cell_data["coeff_idx"]
 
     # ------------------------------------------------------------ evaluation
 
-    def _eval_field(self, name: str, x: jnp.ndarray):
+    def _eval_field(self, name: str, x, data):
         """vals (e,q,m), phys grads (e,q,m,gdim) of field `name` from the
         global mixed vector x."""
         phi, dphi = self.tab[name]
-        zc = x[self.gather_idx[name]]                # (e, i, m)
+        zc = x[data["gather_idx"][name]]             # (e, i, m)
         vals = jnp.einsum("qi,eim->eqm", phi, zc)
         rg = jnp.einsum("qit,eim->eqmt", dphi, zc)
-        grads = jnp.einsum("eqdt,eqmt->eqmd", self.G, rg)
+        grads = jnp.einsum("eqdt,eqmt->eqmd", data["G"], rg)
         return vals, grads
 
-    def _eval_coeff(self, name: str, z: jnp.ndarray):
+    def _eval_coeff(self, name: str, z, data):
         phi, dphi = self.coeff_tab[name]
-        zc = z[self.coeff_idx[name]]
+        zc = z[data["coeff_idx"][name]]
         vals = jnp.einsum("qi,eim->eqm", phi, zc)
         rg = jnp.einsum("qit,eim->eqmt", dphi, zc)
-        grads = jnp.einsum("eqdt,eqmt->eqmd", self.G, rg)
+        grads = jnp.einsum("eqdt,eqmt->eqmd", data["G"], rg)
         return vals, grads
 
-    def _prepare_coeffs(self, coeffs: Mapping[str, jnp.ndarray]):
+    def _prepare_coeffs(self, coeffs, data):
         """Split user coefficients into per-quad-point (vals, grads|None)."""
         cv, cg = {}, {}
         for name, arr in (coeffs or {}).items():
             if name in self.coeff_tab:
-                v, g = self._eval_coeff(name, jnp.asarray(arr, self.dtype))
+                v, g = self._eval_coeff(name, jnp.asarray(arr, self.dtype), data)
                 cv[name], cg[name] = v, g
             else:
                 a = jnp.asarray(arr, self.dtype)
@@ -162,14 +190,18 @@ class VolumeForm:
                 gu[f] = grads[f]
         return u, gu
 
-    def _pointwise(self, xq, svals, sgrads, cvals, cgrads, consts):
-        """Canonical-shape pointwise residual: inputs svals[f] (m,),
-        sgrads[f] (m, gdim); returns canonical (a0 (m,), a1 (m, gdim))."""
-        u, gu = self._user_shapes(svals, sgrads)
+    def _user_coeff_shapes(self, cvals, cgrads):
         c = {k: (v[0] if v.shape == (1,) else v) for k, v in cvals.items()}
         gc = {k: (None if g is None else (g[0] if g.shape[0] == 1 and
                                           self.coeff_m.get(k, 1) == 1 else g))
               for k, g in cgrads.items()}
+        return c, gc
+
+    def _pointwise(self, xq, svals, sgrads, cvals, cgrads, consts):
+        """Canonical-shape pointwise residual: inputs svals[f] (m,),
+        sgrads[f] (m, gdim); returns canonical (a0 (m,), a1 (m, gdim))."""
+        u, gu = self._user_shapes(svals, sgrads)
+        c, gc = self._user_coeff_shapes(cvals, cgrads)
         out = self.residual_fn(xq, u, gu, c, gc, consts)
         res = {}
         for f, m in self.field_m.items():
@@ -182,87 +214,78 @@ class VolumeForm:
 
     # ---------------------------------------------------------- residual
 
-    @cached_property
-    def _residual_jit(self):
-        @jax.jit
-        def residual(x, coeffs, consts):
-            return self._residual_core(x, coeffs, consts)
-        return residual
-
-    def _residual_core(self, x, coeffs, consts):
+    def _residual_core(self, x, coeffs, consts, data=None):
+        data = self.cell_data if data is None else data
         x = jnp.asarray(x, self.dtype)
         vals, grads = {}, {}
         for f in self.space.names:
-            vals[f], grads[f] = self._eval_field(f, x)
-        cv, cg = self._prepare_coeffs(coeffs)
+            vals[f], grads[f] = self._eval_field(f, x, data)
+        cv, cg = self._prepare_coeffs(coeffs, data)
 
         pw = lambda xq, sv, sg, cvq, cgq: self._pointwise(
             xq, sv, sg, cvq, cgq, consts)
-        t = jax.vmap(jax.vmap(pw))(self.xq, vals, grads, cv, cg)
+        t = jax.vmap(jax.vmap(pw))(data["xq"], vals, grads, cv, cg)
 
+        wdet, G = data["wdet"], data["G"]
         F = jnp.zeros(self.space.num_dofs, self.dtype)
         for f in self.space.names:
             phi, dphi = self.tab[f]
             a0, a1 = t[f]                            # (e,q,m), (e,q,m,gdim)
-            wa0 = a0 * self.wdet[:, :, None]
-            wa1 = jnp.einsum("eqdt,eqmd->eqmt", self.G,
-                             a1 * self.wdet[:, :, None, None])
+            wa0 = a0 * wdet[:, :, None]
+            wa1 = jnp.einsum("eqdt,eqmd->eqmt", G,
+                             a1 * wdet[:, :, None, None])
             r = (jnp.einsum("qi,eqm->eim", phi, wa0)
                  + jnp.einsum("qit,eqmt->eim", dphi, wa1))
-            F = F.at[self.gather_idx[f].reshape(-1)].add(r.reshape(-1))
+            F = F.at[data["gather_idx"][f].reshape(-1)].add(r.reshape(-1))
         return F
 
+    @cached_property
+    def _residual_jit(self):
+        return jax.jit(lambda x, coeffs, consts, data:
+                       self._residual_core(x, coeffs, consts, data))
+
     def residual(self, x, coeffs=None, consts=None) -> jnp.ndarray:
-        return self._residual_jit(x, coeffs or {}, consts or {})
+        return self._residual_jit(x, coeffs or {}, consts or {},
+                                  self.cell_data)
 
     # ------------------------------------------------- matrix-free Jacobian
 
     @cached_property
     def _jvp_jit(self):
-        @jax.jit
-        def action(x, v, coeffs, consts):
-            f = lambda y: self._residual_core(y, coeffs, consts)
+        def action(x, v, coeffs, consts, data):
+            f = lambda y: self._residual_core(y, coeffs, consts, data)
             return jax.jvp(f, (x,), (v,))[1]
-        return action
+        return jax.jit(action)
 
     def jacobian_action(self, x, v, coeffs=None, consts=None) -> jnp.ndarray:
         """J(x) @ v without materializing J (replaces assemble_matrix+MatMult)."""
-        return self._jvp_jit(x, v, coeffs or {}, consts or {})
+        return self._jvp_jit(x, v, coeffs or {}, consts or {}, self.cell_data)
 
     # ------------------------------------------------- element matrices
 
-    @cached_property
-    def _element_matrices_jit(self):
-        @jax.jit
-        def elmats(x, coeffs, consts):
-            return self._element_matrices_core(x, coeffs, consts)
-        return elmats
-
-    def _element_matrices_core(self, x, coeffs, consts):
+    def _element_matrices_core(self, x, coeffs, consts, data=None):
         """Full mixed element matrices (e, L, L), L = sum_f nl_f * m_f,
         local ordering = fields in space order, each (i, comp) interleaved."""
+        data = self.cell_data if data is None else data
         x = jnp.asarray(x, self.dtype)
         vals, grads = {}, {}
         for f in self.space.names:
-            vals[f], grads[f] = self._eval_field(f, x)
-        cv, cg = self._prepare_coeffs(coeffs)
-
-        def pw(xq, sv, sg, cvq, cgq):
-            return self._pointwise(xq, sv, sg, cvq, cgq, consts)
+            vals[f], grads[f] = self._eval_field(f, x, data)
+        cv, cg = self._prepare_coeffs(coeffs, data)
 
         def pw_jac(xq, sv, sg, cvq, cgq):
-            return jax.jacfwd(lambda s: pw(xq, s[0], s[1], cvq, cgq))((sv, sg))
+            return jax.jacfwd(lambda s: self._pointwise(
+                xq, s[0], s[1], cvq, cgq, consts))((sv, sg))
 
-        K = jax.vmap(jax.vmap(pw_jac))(self.xq, vals, grads, cv, cg)
-        # K[f][0 or 1] -> tuple over (svals, sgrads) -> dict g -> array
+        K = jax.vmap(jax.vmap(pw_jac))(data["xq"], vals, grads, cv, cg)
+        # K[f] = (Ja0, Ja1); Ja0 = ({g: d a0_f/d val_g}, {g: d a0_f/d grad_g})
 
-        # physical gradients of basis per field
+        G, w = data["G"], data["wdet"]
         gphi = {}
         for f in self.space.names:
             phi, dphi = self.tab[f]
-            gphi[f] = jnp.einsum("eqdt,qit->eqid", self.G, dphi)
+            gphi[f] = jnp.einsum("eqdt,qit->eqid", G, dphi)
 
-        w = self.wdet
         blocks = []
         for f in self.space.names:
             phif, _ = self.tab[f]
@@ -271,7 +294,7 @@ class VolumeForm:
             for g in self.space.names:
                 phig, _ = self.tab[g]
                 gpg = gphi[g]
-                (K0, K1) = K[f]          # derivative of (a0_f, a1_f)
+                (K0, K1) = K[f]
                 K00 = K0[0][g] * w[:, :, None, None]
                 K01 = K0[1][g] * w[:, :, None, None, None]
                 K10 = K1[0][g] * w[:, :, None, None, None]
@@ -281,17 +304,20 @@ class VolumeForm:
                 t3 = jnp.einsum("eqid,eqadb,qj->eiajb", gpf, K10, phig)
                 t4 = jnp.einsum("eqid,eqadbc,eqjc->eiajb", gpf, K11, gpg)
                 A = t1 + t2 + t3 + t4
-                e = A.shape[0]
-                nlf, mf = A.shape[1], A.shape[2]
-                nlg, mg = A.shape[3], A.shape[4]
+                e, nlf, mf, nlg, mg = A.shape
                 row.append(A.reshape(e, nlf * mf, nlg * mg))
             blocks.append(row)
-        ncells = self.mesh.num_cells
         return jnp.concatenate(
             [jnp.concatenate(r, axis=2) for r in blocks], axis=1)
 
+    @cached_property
+    def _element_matrices_jit(self):
+        return jax.jit(lambda x, coeffs, consts, data:
+                       self._element_matrices_core(x, coeffs, consts, data))
+
     def element_matrices(self, x, coeffs=None, consts=None) -> jnp.ndarray:
-        return self._element_matrices_jit(x, coeffs or {}, consts or {})
+        return self._element_matrices_jit(x, coeffs or {}, consts or {},
+                                          self.cell_data)
 
     @cached_property
     def local_indices(self) -> np.ndarray:
@@ -313,28 +339,30 @@ class VolumeForm:
         A = sp.coo_matrix((Ae.reshape(-1), (rows, cols)), shape=(N, N))
         return A.tocsr()
 
-    def _diagonal_core(self, x, coeffs, consts):
+    # ------------------------------------------------------------ diagonal
+
+    def _diagonal_core(self, x, coeffs, consts, data=None):
         """Jacobian diagonal without materializing element matrices —
         O(ncells * nq * m^2 * d^2) memory, the Jacobi-preconditioner path
         for large (1M-DoF) systems."""
+        data = self.cell_data if data is None else data
         x = jnp.asarray(x, self.dtype)
         vals, grads = {}, {}
         for f in self.space.names:
-            vals[f], grads[f] = self._eval_field(f, x)
-        cv, cg = self._prepare_coeffs(coeffs)
+            vals[f], grads[f] = self._eval_field(f, x, data)
+        cv, cg = self._prepare_coeffs(coeffs, data)
 
         def pw_jac(xq, sv, sg, cvq, cgq):
             return jax.jacfwd(lambda s: self._pointwise(
                 xq, s[0], s[1], cvq, cgq, consts))((sv, sg))
 
-        K = jax.vmap(jax.vmap(pw_jac))(self.xq, vals, grads, cv, cg)
-        w = self.wdet
+        K = jax.vmap(jax.vmap(pw_jac))(data["xq"], vals, grads, cv, cg)
+        G, w = data["G"], data["wdet"]
         out = jnp.zeros(self.space.num_dofs, self.dtype)
         for f in self.space.names:
             phi, dphi = self.tab[f]
-            gphi = jnp.einsum("eqdt,qit->eqid", self.G, dphi)
+            gphi = jnp.einsum("eqdt,qit->eqid", G, dphi)
             (K0, K1) = K[f]
-            # diagonal (a == b) slices of the f-f block
             K00d = jnp.einsum("eqaa->eqa", K0[0][f])
             K01d = jnp.einsum("eqaad->eqad", K0[1][f])
             K10d = jnp.einsum("eqada->eqad", K1[0][f])
@@ -343,19 +371,17 @@ class VolumeForm:
             t2 = jnp.einsum("qi,eqid,eq,eqad->eia", phi, gphi, w, K01d + K10d)
             t4 = jnp.einsum("eqid,eqadc,eq,eqic->eia", gphi, K11d, w, gphi)
             d = t1 + t2 + t4                         # (e, i, a)
-            out = out.at[self.gather_idx[f].reshape(-1)].add(d.reshape(-1))
+            out = out.at[data["gather_idx"][f].reshape(-1)].add(d.reshape(-1))
         return out
 
     @cached_property
     def _diag_jit(self):
-        @jax.jit
-        def diag(x, coeffs, consts):
-            return self._diagonal_core(x, coeffs, consts)
-        return diag
+        return jax.jit(lambda x, coeffs, consts, data:
+                       self._diagonal_core(x, coeffs, consts, data))
 
     def jacobian_diagonal(self, x, coeffs=None, consts=None) -> jnp.ndarray:
         """Diagonal of the assembled Jacobian (Jacobi preconditioning)."""
-        return self._diag_jit(x, coeffs or {}, consts or {})
+        return self._diag_jit(x, coeffs or {}, consts or {}, self.cell_data)
 
     # ------------------------------------------------------- functionals
 
@@ -364,25 +390,25 @@ class VolumeForm:
         the observables of the reference (energy, complementarity,
         feasibility, increments; obstacle_pg.py:145-152)."""
 
-        @jax.jit
-        def functional(x, coeffs=None, consts=None):
+        def functional_core(x, coeffs, consts, data):
             xx = jnp.asarray(x, self.dtype)
             vals, grads = {}, {}
             for f in self.space.names:
-                vals[f], grads[f] = self._eval_field(f, xx)
-            cv, cg = self._prepare_coeffs(coeffs or {})
+                vals[f], grads[f] = self._eval_field(f, xx, data)
+            cv, cg = self._prepare_coeffs(coeffs, data)
 
             def pw(xq, sv, sg, cvq, cgq):
                 u, gu = self._user_shapes(sv, sg)
-                c = {k: (v[0] if v.shape == (1,) else v) for k, v in cvq.items()}
-                gc = {k: (None if g is None else
-                          (g[0] if g.shape[0] == 1 and
-                           self.coeff_m.get(k, 1) == 1 else g))
-                      for k, g in cgq.items()}
+                c, gc = self._user_coeff_shapes(cvq, cgq)
                 return fn(xq, u, gu, c, gc, consts or {})
 
-            vq = jax.vmap(jax.vmap(pw))(self.xq, vals, grads, cv, cg)
-            return jnp.sum(vq * self.wdet)
+            vq = jax.vmap(jax.vmap(pw))(data["xq"], vals, grads, cv, cg)
+            return jnp.sum(vq * data["wdet"])
+
+        jitted = jax.jit(functional_core)
+
+        def functional(x, coeffs=None, consts=None):
+            return jitted(x, coeffs or {}, consts or {}, self.cell_data)
 
         return functional
 

@@ -80,32 +80,42 @@ class EllPattern:
 
 
 class EllMatrix:
-    """Pattern + device arrays; assemble(element_matrices) -> ELL data."""
+    """Pattern + device arrays; assemble(element_matrices) -> ELL data.
+
+    Index/mask arrays are exposed as an `arrays` pytree meant to be passed
+    into jitted kernels as runtime arguments (closure-capturing them embeds
+    multi-MB constants into the XLA graph and triggers pathological
+    constant folding)."""
 
     def __init__(self, pattern: EllPattern, dtype=jnp.float64):
         self.pattern = pattern
         self.dtype = dtype
-        self.slot_map = jnp.asarray(pattern.slot_map)
-        self.keep = jnp.asarray(pattern.keep, dtype)
-        self.diag_ones = jnp.asarray(pattern.diag_ones, dtype)
-        self.ell_gather = jnp.asarray(pattern.ell_gather)
-        self.ell_cols = jnp.asarray(pattern.ell_cols)
+        self.arrays = {
+            "slot_map": jnp.asarray(pattern.slot_map),
+            "keep": jnp.asarray(pattern.keep, dtype),
+            "diag_ones": jnp.asarray(pattern.diag_ones, dtype),
+            "ell_gather": jnp.asarray(pattern.ell_gather),
+            "ell_cols": jnp.asarray(pattern.ell_cols),
+        }
 
-    def assemble(self, element_matrices: jnp.ndarray) -> jnp.ndarray:
+    def assemble(self, element_matrices: jnp.ndarray, arrays=None) -> jnp.ndarray:
         """(e, L, L) element matrices -> (N, K) ELL data with BCs applied
         (zeroed bc rows/cols, unit bc diagonal — the reference's
         assemble_matrix(J, a, bcs) semantics, problem.py:75-77)."""
+        a = self.arrays if arrays is None else arrays
         flat = element_matrices.reshape(-1).astype(self.dtype)
-        csr = jax.ops.segment_sum(flat, self.slot_map,
+        csr = jax.ops.segment_sum(flat, a["slot_map"],
                                   num_segments=self.pattern.nnz)
-        csr = csr * self.keep + self.diag_ones
+        csr = csr * a["keep"] + a["diag_ones"]
         padded = jnp.concatenate([csr, jnp.zeros((1,), self.dtype)])
-        return padded[self.ell_gather]
+        return padded[a["ell_gather"]]
 
-    def spmv(self, data: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-        return jnp.sum(data * x[self.ell_cols], axis=1)
+    def spmv(self, data: jnp.ndarray, x: jnp.ndarray, arrays=None) -> jnp.ndarray:
+        a = self.arrays if arrays is None else arrays
+        return jnp.sum(data * x[a["ell_cols"]], axis=1)
 
-    def diagonal(self, data: jnp.ndarray) -> jnp.ndarray:
+    def diagonal(self, data: jnp.ndarray, arrays=None) -> jnp.ndarray:
+        a = self.arrays if arrays is None else arrays
         row = jnp.arange(self.pattern.num_dofs)[:, None]
-        mask = self.ell_cols == row
+        mask = a["ell_cols"] == row
         return jnp.sum(jnp.where(mask, data, 0.0), axis=1)

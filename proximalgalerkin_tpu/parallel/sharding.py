@@ -48,13 +48,14 @@ def shard_form(form: VolumeForm, dmesh: DeviceMesh,
     if ncells % n != 0:
         raise ValueError(f"ncells={ncells} not divisible by mesh size {n}")
     cell_sh = NamedSharding(dmesh, P(axis_name))
-    form.xq = jax.device_put(form.xq, cell_sh)
-    form.wdet = jax.device_put(form.wdet, cell_sh)
-    form.G = jax.device_put(form.G, cell_sh)
-    form.gather_idx = {k: jax.device_put(v, cell_sh)
-                       for k, v in form.gather_idx.items()}
-    form.coeff_idx = {k: jax.device_put(v, cell_sh)
-                      for k, v in form.coeff_idx.items()}
+    cd = form.cell_data
+    cd["xq"] = jax.device_put(cd["xq"], cell_sh)
+    cd["wdet"] = jax.device_put(cd["wdet"], cell_sh)
+    cd["G"] = jax.device_put(cd["G"], cell_sh)
+    cd["gather_idx"] = {k: jax.device_put(v, cell_sh)
+                        for k, v in cd["gather_idx"].items()}
+    cd["coeff_idx"] = {k: jax.device_put(v, cell_sh)
+                       for k, v in cd["coeff_idx"].items()}
 
 
 def shard_problem(problem: NonlinearProblem, dmesh: DeviceMesh,

@@ -100,17 +100,19 @@ class NonlinearProblem:
         bc_idx, bc_vals = self.bc_idx, self.bc_vals
         ell = self.ell_matrix if mat_type == "ell" else None
 
-        def direction(x, F, coeffs, consts, rtol, atol, maxiter):
+        def direction(x, F, coeffs, consts, rtol, atol, maxiter, cell_data,
+                      ell_arrays):
             if mat_type == "ell":
-                Ae = form._element_matrices_core(x, coeffs, consts)
-                data = ell.assemble(Ae)
+                Ae = form._element_matrices_core(x, coeffs, consts, cell_data)
+                data = ell.assemble(Ae, ell_arrays)
 
                 def Av(v):
-                    return ell.spmv(data, v)
+                    return ell.spmv(data, v, ell_arrays)
             else:
                 def Av(v):
                     w = v.at[bc_idx].set(0.0)
-                    f = lambda y: form._residual_core(y, coeffs, consts)
+                    f = lambda y: form._residual_core(y, coeffs, consts,
+                                                      cell_data)
                     y = jax.jvp(f, (x,), (w,))[1]
                     y = y.at[bc_idx].set(0.0)
                     return y.at[bc_idx].add(v[bc_idx])
@@ -118,9 +120,9 @@ class NonlinearProblem:
             b = -F
             if pc == "jacobi":
                 if mat_type == "ell":
-                    d = ell.diagonal(data)
+                    d = ell.diagonal(data, ell_arrays)
                 else:
-                    d = form._diagonal_core(x, coeffs, consts)
+                    d = form._diagonal_core(x, coeffs, consts, cell_data)
                     d = d.at[bc_idx].set(1.0)
                 dinv = jnp.where(jnp.abs(d) > 1e-300, 1.0 / d, 1.0)
             else:
@@ -143,7 +145,13 @@ class NonlinearProblem:
                 raise ValueError(f"unknown ksp_type {ksp!r}")
             return xs
 
-        fn = jax.jit(direction, static_argnames=("maxiter",))
+        jitted = jax.jit(direction, static_argnames=("maxiter",))
+
+        def fn(x, F, coeffs, consts, rtol, atol, maxiter):
+            return jitted(x, F, coeffs, consts, rtol, atol, maxiter,
+                          form.cell_data,
+                          ell.arrays if ell is not None else {})
+
         self._direction_cache[key] = fn
         return fn
 
