@@ -111,16 +111,31 @@ def fd_obstacle_solve(N: int, max_outer: int = 100, newton_tol: float = 1e-4,
             it, u, psi, _ = state
             g_u, g_p = residual(u, psi)
             d = jnp.exp(psi)                       # latent diagonal
-            dinv = 1.0 / d
-            # Schur system (alpha*A + D^{-1}) du = -g_u - D^{-1} g_p
-            rhs = jnp.where(interior, -g_u - dinv * g_p, 0.0)
+            # Deep-contact limit split (see obstacle_p1.py): where exp(psi)
+            # has underflowed relative to the elliptic row scale, take the
+            # exact d->0 Newton limit du = -g_p - d*g_u pointwise instead
+            # of dividing by d inside the Schur operator.
+            row_scale = alpha * 4.0 * h2inv + 1.0
+            active = jnp.logical_and(interior, d * 1e14 * row_scale < 1.0)
+            free = jnp.logical_and(interior, ~active)
+            dsafe = jnp.maximum(d, 1e-300)
+            du_a = jnp.where(active, -g_p - d * g_u, 0.0)
+            rhs = jnp.where(
+                free,
+                -g_u - g_p / dsafe
+                - alpha * _laplacian_dirichlet(du_a, h2inv), 0.0)
 
             def S(v):
-                Av = _laplacian_dirichlet(v, h2inv)
-                return jnp.where(interior, alpha * Av + dinv * v, v)
+                vf = jnp.where(free, v, 0.0)
+                Av = _laplacian_dirichlet(vf, h2inv)
+                return jnp.where(free, alpha * Av + v / dsafe, v)
 
-            du = _cg_stencil(S, rhs, cg_tol, 20 * N)
-            dpsi = jnp.where(interior, dinv * (du + g_p), 0.0)
+            w = _cg_stencil(S, rhs, cg_tol, 20 * N)
+            du = jnp.where(free, w, du_a)
+            # latent update from the linear first Newton row (no division)
+            dpsi = jnp.where(
+                interior,
+                -(g_u + alpha * _laplacian_dirichlet(du, h2inv)), 0.0)
             u, psi = u + du, psi + dpsi
             g_u, g_p = residual(u, psi)
             nrm = jnp.sqrt(jnp.vdot(g_u, g_u) + jnp.vdot(g_p, g_p))

@@ -1,0 +1,250 @@
+"""Example 01 fast path — P1 lumped-mass proximal Galerkin on any mesh.
+
+The production/bench variant of the obstacle problem (BASELINE.md north
+star: 1M DoF). Same LVPP structure as obstacle.py / the reference
+(obstacle_pg.py:116-124), discretized with P1 Lagrange and vertex (lumped)
+quadrature for the latent coupling terms. The payoff is the linear algebra:
+the latent block is then pointwise diagonal, so each Newton step reduces
+exactly to the SPD Schur system
+
+    (alpha A + M_L^2 / D) du = rhs,     D = M_L * exp(psi),
+
+solved by Jacobi-preconditioned CG over an ELL stiffness SpMV — robust
+where Krylov on the full indefinite saddle system degrades as exp(psi) -> 0
+in the contact set (the regime MUMPS handles for the reference). The whole
+Newton loop is one fused jitted kernel; the outer LVPP loop stays in Python
+and follows the reference's FD protocol (obstacle_finite_difference.jl:
+70-111): alpha = min(max(C r^(q^k) - alpha, C), cap), inner relative
+tolerance, outer l2 increment tolerance.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..assembly import VolumeForm
+from ..la.ell import EllMatrix, EllPattern
+from ..mesh.mesh import Mesh
+from ..spaces import FunctionSpace, MixedSpace
+from .obstacle import spherical_cap_obstacle
+
+
+@dataclass
+class P1ObstacleResult:
+    u: np.ndarray
+    psi: np.ndarray
+    outer_iterations: int
+    newton_its: int
+    newton_per_outer: List[int]
+    increments: List[float]
+    converged: bool
+
+
+def _cg(matvec, b, Minv, tol, maxiter):
+    x0 = jnp.zeros_like(b)
+    r = b
+    z = Minv * r
+    p = z
+    rz = jnp.vdot(r, z)
+    bnorm2 = jnp.vdot(b, b)
+    stop = tol * tol * bnorm2
+
+    def cond(state):
+        i, x, r, z, p, rz = state
+        return jnp.logical_and(i < maxiter, jnp.vdot(r, r) > stop)
+
+    def body(state):
+        i, x, r, z, p, rz = state
+        Ap = matvec(p)
+        a = rz / jnp.vdot(p, Ap)
+        x = x + a * p
+        r = r - a * Ap
+        z = Minv * r
+        rz_new = jnp.vdot(r, z)
+        p = z + (rz_new / rz) * p
+        return i + 1, x, r, z, p, rz_new
+
+    out = jax.lax.while_loop(cond, body, (0, x0, r, z, p, rz))
+    return out[1], out[0]
+
+
+class P1ObstacleSolver:
+    def __init__(self, mesh: Mesh,
+                 obstacle: Callable = spherical_cap_obstacle,
+                 f: float = 0.0,
+                 alpha_cap: float = 1e2,
+                 outer_tol: float = 1e-8,
+                 newton_tol: float = 1e-4,
+                 newton_atol: float = 1e-11,
+                 newton_max: int = 50,
+                 cg_tol: float = 1e-10,
+                 cg_max: Optional[int] = None,
+                 dtype=jnp.float64):
+        self.mesh = mesh
+        V = FunctionSpace.create(mesh, 1)
+        self.V = V
+        N = V.num_dofs
+        self.N = N
+        space = MixedSpace([("u", V)])
+
+        # stiffness via the assembly pipeline (Jacobian of the Poisson form)
+        form = VolumeForm(space, lambda x, u, gu, c, gc, k: {"u": (None, gu["u"])},
+                          quadrature_degree=2, dtype=dtype)
+        bdofs = V.boundary_dofs()
+        pattern = EllPattern.build(form.local_indices, N, bdofs)
+        self.ell = EllMatrix(pattern, dtype)
+        Ae = form.element_matrices(space.zeros())
+        self.A_data = self.ell.assemble(Ae)
+
+        # lumped mass vector: M_L[i] = ∫ phi_i dx
+        mass_form = VolumeForm(space, lambda x, u, gu, c, gc, k: {"u": (1.0, None)},
+                               quadrature_degree=2, dtype=dtype)
+        self.M_L = jnp.asarray(mass_form.residual(space.zeros()))
+
+        self.phi = jnp.asarray(obstacle(V.dof_points.T), dtype)
+        mask = np.ones(N)
+        mask[np.asarray(bdofs)] = 0.0
+        self.interior = jnp.asarray(mask, dtype)
+        self.f = f
+        self.alpha_cap = alpha_cap
+        self.outer_tol = outer_tol
+        self.newton_tol = newton_tol
+        self.newton_atol = newton_atol
+        self.newton_max = newton_max
+        self.cg_tol = cg_tol
+        self.cg_max = cg_max or 40 * int(np.sqrt(N))
+        self.dtype = dtype
+
+        ell = self.ell
+        interior = self.interior
+        M_L = self.M_L
+        phi = self.phi
+        fv = jnp.asarray(f, dtype)
+        newton_tol_ = newton_tol
+        newton_atol_ = newton_atol
+        newton_max_ = newton_max
+        cg_tol_ = cg_tol
+        cg_max_ = self.cg_max
+
+        # The latent variable dives to psi ~ -O(sum alpha) at contact nodes
+        # (exp(psi) = the primal-dual gap -> 0), so exp(psi) legitimately
+        # underflows. The block Newton system stays well-posed in that limit
+        # — a direct solver (the reference's MUMPS) handles it by pivoting.
+        # We reproduce the limit exactly with an active/inactive row split:
+        # nodes whose latent weight M^2/d exceeds the elliptic row scale by
+        # KAPPA_MAX take their closed-form Newton limit
+        #     du = -g_p/M - (d/M^2) g_u   (exact to O((1/KAPPA_MAX)^2)),
+        # the rest form a bounded-condition SPD Schur system for CG.
+        KAPPA_MAX = 1e14
+        PSI_TOP = 50.0   # exp overflow guard; psi > ~1 never occurs at a sol
+
+        def residual(u, psi, psi_k, alpha, A_data, ea):
+            g_u = interior * (alpha * ell.spmv(A_data, u, ea)
+                              + M_L * (psi - psi_k - alpha * fv))
+            g_p = interior * M_L * (u - jnp.exp(psi) - phi)
+            return g_u, g_p
+
+        def newton_kernel(u, psi, psi_k, alpha, A_data, ea):
+            g_u0, g_p0 = residual(u, psi, psi_k, alpha, A_data, ea)
+            norm0 = jnp.sqrt(jnp.vdot(g_u0, g_u0) + jnp.vdot(g_p0, g_p0))
+            # relative tolerance with an absolute floor: late outer stages
+            # start at residuals near roundoff where a 1e-4 relative
+            # reduction is unattainable in f64
+            stop = jnp.maximum(newton_tol_ * norm0, newton_atol_)
+            diagA = ell.diagonal(A_data, ea)
+
+            def cond(state):
+                it, u, psi, nrm, cg_total = state
+                return jnp.logical_and(it < newton_max_, nrm > stop)
+
+            def body(state):
+                it, u, psi, _, cg_total = state
+                g_u, g_p = residual(u, psi, psi_k, alpha, A_data, ea)
+                d = M_L * jnp.exp(psi)            # underflow to 0 is fine
+                row_scale = alpha * diagA + M_L
+                active = jnp.logical_and(
+                    interior > 0,
+                    d * KAPPA_MAX * row_scale < M_L * M_L)
+                free = jnp.logical_and(interior > 0, ~active)
+                dsafe = jnp.maximum(d, 1e-300)
+                m2d = jnp.where(free, M_L * M_L / dsafe, 0.0)
+
+                du_a = jnp.where(active,
+                                 -g_p / M_L - (d / (M_L * M_L)) * g_u, 0.0)
+                rhs = jnp.where(
+                    free,
+                    -g_u - (M_L / dsafe) * g_p
+                    - alpha * ell.spmv(A_data, du_a, ea), 0.0)
+
+                def S(v):
+                    vf = jnp.where(free, v, 0.0)
+                    return jnp.where(
+                        free, alpha * ell.spmv(A_data, vf, ea) + m2d * v, v)
+
+                diagS = jnp.where(free, alpha * diagA + m2d, 1.0)
+                w, cg_its = _cg(S, rhs, 1.0 / diagS, cg_tol_, cg_max_)
+                du = jnp.where(free, w, du_a)
+                # back-substitute dpsi from the FIRST (linear) Newton row:
+                # alpha A du + M_L dpsi = -g_u — no division by exp(psi),
+                # so no error amplification in the deep-contact limit.
+                dpsi = jnp.where(
+                    interior > 0,
+                    -(g_u + alpha * ell.spmv(A_data, du, ea)) / M_L, 0.0)
+                u = u + du
+                psi = jnp.minimum(psi + dpsi, PSI_TOP)
+                g_u, g_p = residual(u, psi, psi_k, alpha, A_data, ea)
+                nrm = jnp.sqrt(jnp.vdot(g_u, g_u) + jnp.vdot(g_p, g_p))
+                return it + 1, u, psi, nrm, cg_total + cg_its
+
+            it, u, psi, nrm, cg_total = jax.lax.while_loop(
+                cond, body, (0, u, psi, norm0, 0))
+            return u, psi, it, cg_total
+
+        self._newton = jax.jit(newton_kernel)
+
+    def solve(self, max_outer: int = 100, verbose: bool = False
+              ) -> P1ObstacleResult:
+        N = self.N
+        u = jnp.zeros(N, self.dtype)
+        psi = jnp.ones(N, self.dtype)
+        psi_k = jnp.zeros(N, self.dtype)
+        u_prev = jnp.zeros(N, self.dtype)
+        ea = self.ell.arrays
+
+        alpha, C, r, q = 1.0, 1.0, 1.5, 1.5
+        per_outer: List[int] = []
+        increments: List[float] = []
+        total = 0
+        converged = False
+        k_done = 0
+        for k in range(max_outer):
+            try:
+                alpha = min(max(C * r ** (q**k) - alpha, C), self.alpha_cap)
+            except OverflowError:
+                alpha = self.alpha_cap
+            u, psi, nits, cg_its = self._newton(
+                u, psi, psi_k, jnp.asarray(alpha, self.dtype),
+                self.A_data, ea)
+            total += int(nits)
+            per_outer.append(int(nits))
+            psi_k = psi
+            inc = float(jnp.linalg.norm(u - u_prev))
+            increments.append(inc)
+            k_done = k + 1
+            if verbose:
+                print(f"outer {k + 1} alpha={alpha:.4g} newton={int(nits)} "
+                      f"cg={int(cg_its)} inc={inc:.3e}", flush=True)
+            if inc < self.outer_tol:
+                converged = True
+                break
+            u_prev = u
+
+        return P1ObstacleResult(
+            u=np.asarray(u), psi=np.asarray(psi), outer_iterations=k_done,
+            newton_its=total, newton_per_outer=per_outer,
+            increments=increments, converged=converged)

@@ -1,0 +1,54 @@
+"""P1 lumped-mass Schur fast path: cross-checks against the FD scheme.
+
+On a uniform right-diagonal triangulation of the square, the P1 stiffness
+matrix is exactly the 5-point stencil and the lumped mass is h^2, so the
+lumped-P1 LVPP discretization coincides with the reference's FD scheme
+(obstacle_finite_difference.jl) up to a row scaling — solutions must agree
+to solver tolerance."""
+
+import numpy as np
+import pytest
+
+from proximalgalerkin_tpu.mesh import rectangle_mesh
+from proximalgalerkin_tpu.models.obstacle_p1 import P1ObstacleSolver
+from proximalgalerkin_tpu.models.obstacle_fd import fd_obstacle_solve
+
+
+def test_p1_lumped_matches_fd():
+    N = 33
+    mesh = rectangle_mesh(N - 1, N - 1, p0=(-1.0, -1.0), p1=(1.0, 1.0))
+    s = P1ObstacleSolver(mesh, outer_tol=1e-9)
+    res = s.solve()
+    assert res.converged
+
+    fd = fd_obstacle_solve(N, outer_tol=1e-9)
+
+    # map FEM dofs -> grid
+    pts = s.V.dof_points
+    xs = np.linspace(-1, 1, N)
+    ij = np.stack([np.searchsorted(xs, pts[:, 0] - 1e-12),
+                   np.searchsorted(xs, pts[:, 1] - 1e-12)], axis=1)
+    u_fem_grid = np.zeros((N, N))
+    u_fem_grid[ij[:, 0], ij[:, 1]] = res.u
+    assert np.abs(u_fem_grid - fd.u).max() < 1e-5
+
+
+def test_p1_feasible_and_converged():
+    mesh = rectangle_mesh(48, 48, p0=(-1.0, -1.0), p1=(1.0, 1.0))
+    s = P1ObstacleSolver(mesh)
+    res = s.solve()
+    assert res.converged
+    assert float((res.u - np.asarray(s.phi)).min()) > -1e-10
+    assert res.newton_its < 60
+    # boundary values zero
+    assert np.abs(res.u[np.asarray(s.V.boundary_dofs())]).max() == 0.0
+
+
+def test_p1_unstructured_diagonals():
+    """Fast path works on crossed-diagonal (non-stencil) triangulations."""
+    mesh = rectangle_mesh(24, 24, p0=(-1.0, -1.0), p1=(1.0, 1.0),
+                          diagonal="crossed")
+    s = P1ObstacleSolver(mesh)
+    res = s.solve()
+    assert res.converged
+    assert float((res.u - np.asarray(s.phi)).min()) > -1e-10
