@@ -1,0 +1,204 @@
+"""Example 04 — four-species multiphase Cahn–Hilliard gradient flow.
+
+Rebuild of examples/04_multiphase/multiphase_dolfinx.py: mixed
+(u, z, psi) with each field a 4-vector P1 function (:38-43), simplex
+constraint (u_m >= 0, sum_m u_m = 1) via the softmax latent map
+u_m = exp(psi_m)/sum exp(psi) (:83-90), implicit Euler stepping (:75-78),
+per-step latent warm start psi_i = ln(|u_i| + 1e-7) + 1 (:183-196), and
+alpha schemes constant/linear/doubling capped at alpha_max (:203-205).
+
+Residual (Einstein-index forms :64-90), per test field:
+  z-row:   alpha<z, y> + eps^2 alpha <grad u, grad y> - 2 alpha <u, y>
+           + <psi - psi_old, y> - alpha <1, y>
+  u-row:   <u - u_prev, v> - tau <grad z, grad v>
+  psi-row: <u - softmax(psi) - eps0 psi, w>
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..assembly import VolumeForm
+from ..core.config import SolverOptions
+from ..core.logging import rank_print
+from ..mesh.generation import unit_square_mesh
+from ..mesh.mesh import Mesh
+from ..solve import NonlinearProblem
+from ..solve.newton import NewtonSolver
+from ..spaces import FunctionSpace, MixedSpace
+
+NUM_SPECIES = 4
+
+
+def _circumradius(mesh: Mesh) -> np.ndarray:
+    """Per-cell circumradius (ufl.Circumradius equivalent) for triangles."""
+    pts = mesh.points[mesh.cell_vertices]
+    a = np.linalg.norm(pts[:, 1] - pts[:, 2], axis=1)
+    b = np.linalg.norm(pts[:, 0] - pts[:, 2], axis=1)
+    c = np.linalg.norm(pts[:, 0] - pts[:, 1], axis=1)
+    s = 0.5 * (a + b + c)
+    area = np.sqrt(np.maximum(s * (s - a) * (s - b) * (s - c), 1e-300))
+    return a * b * c / (4.0 * area)
+
+
+def initial_condition(V: FunctionSpace) -> np.ndarray:
+    """The reference's three-region initial layout (:92-125): species 0
+    everywhere, species 1 in a rectangle, species 2/3 in its lower halves.
+    Applied cell-wise (all dofs of cells inside each region)."""
+    mesh = V.mesh
+    n = V.num_scalar_dofs
+    u = np.zeros(n * NUM_SPECIES)
+    u[0::NUM_SPECIES] = 1.0
+
+    def cells_where(marker):
+        ok = marker(mesh.points.T)
+        return np.flatnonzero(np.all(ok[mesh.cell_vertices], axis=1))
+
+    def set_species(cells, species):
+        dofs = np.unique(V.dofmap[cells].reshape(-1))
+        base = dofs * NUM_SPECIES
+        for m in range(NUM_SPECIES):
+            u[base + m] = 1.0 if m == species else 0.0
+
+    tol = 1e-14
+    rect = cells_where(lambda x: (0.2 - tol <= x[1]) & (x[1] <= 0.75 + tol)
+                       & (0.2 - tol <= x[0]) & (x[0] <= 0.8 + tol))
+    low_l = cells_where(lambda x: (x[1] <= 0.5 + tol) & (0.2 - tol <= x[1])
+                        & (0.2 - tol <= x[0]) & (x[0] <= 0.5 + tol))
+    low_r = cells_where(lambda x: (x[1] <= 0.5 + tol) & (0.2 <= x[1] + tol)
+                        & (0.5 - tol <= x[0]) & (x[0] <= 0.8 + tol))
+    set_species(rect, 1)
+    set_species(low_l, 2)
+    set_species(low_r, 3)
+    return u
+
+
+@dataclass
+class MultiphaseResult:
+    u: np.ndarray
+    newton_iterations: np.ndarray
+    lvpp_iterations: np.ndarray
+    mass_history: List[np.ndarray] = field(default_factory=list)
+
+
+def solve_multiphase(
+    N: int = 50,
+    M: int = 50,
+    primal_degree: int = 1,
+    cell_type: str = "triangle",
+    alpha_max: float = 50.0,
+    alpha_scheme: str = "constant",
+    alpha_0: float = 1.0,
+    alpha_c: float = 1.0,
+    max_iterations: int = 20,
+    stopping_tol: float = 1e-5,
+    tau0: float = 1e-5,
+    T: float = 7e-3,
+    solver_options: Optional[dict] = None,
+    verbose: bool = True,
+) -> MultiphaseResult:
+    mesh = unit_square_mesh(N, M, cell_type=cell_type, diagonal="crossed")
+    C = FunctionSpace.create(mesh, primal_degree, value_size=NUM_SPECIES)
+    space = MixedSpace([("u", C), ("z", C), ("psi", C)])
+
+    eps0 = 1e-9
+
+    def residual(x, u, gu, c, gc, consts):
+        alpha, tau = consts["alpha"], consts["tau"]
+        eps2 = c["eps"] ** 2
+        uu, zz, psi = u["u"], u["z"], u["psi"]
+        softmax = jax.nn.softmax(psi)
+        a0_z = (alpha * zz - 2.0 * alpha * uu + psi - c["psi_old"]
+                - alpha * jnp.ones(NUM_SPECIES))
+        a1_z = eps2 * alpha * gu["u"]
+        a0_u = uu - c["u_prev"]
+        a1_u = -tau * gu["z"]
+        a0_psi = uu - softmax - eps0 * psi
+        return {"u": (a0_u, a1_u), "z": (a0_z, a1_z), "psi": (a0_psi, None)}
+
+    form = VolumeForm(space, residual, quadrature_degree=2 * primal_degree + 1,
+                      coeff_spaces={"u_prev": C, "psi_old": C, "u_old": C})
+    # epsilon = 2h with h = 2*circumradius, a cellwise coefficient (:52-53)
+    R = _circumradius(mesh)
+    eps_q = np.repeat((4.0 * R)[:, None], form.nq, axis=1)
+
+    problem = NonlinearProblem(
+        form, [],
+        coeffs={"eps": jnp.asarray(eps_q)},
+        consts={"alpha": jnp.asarray(alpha_0), "tau": jnp.asarray(tau0)})
+
+    # the reference runs snes_type=newtonls with PETSc's default cubic
+    # backtracking linesearch (multiphase_dolfinx.py:128); without a
+    # linesearch the softmax coupling makes full Newton oscillate
+    opts = {"snes_atol": 1e-8, "snes_rtol": 1e-8, "snes_max_it": 25,
+            "ksp_type": "preonly", "pc_type": "lu",
+            "snes_linesearch_type": "bt"}
+    opts.update(solver_options or {})
+    newton = NewtonSolver(problem, SolverOptions(opts))
+
+    l2_fn = form.make_functional(
+        lambda x, u, gu, c, gc, k: jnp.dot(u["u"] - c["u_old"],
+                                           u["u"] - c["u_old"]))
+    mass_fn = form.make_functional(
+        lambda x, u, gu, c, gc, k: jnp.sum(u["u"]))
+
+    u_sl = space.slice_of("u")
+    psi_sl = space.slice_of("psi")
+
+    u_prev = jnp.asarray(initial_condition(C))
+    x = jnp.asarray(space.zeros())
+
+    num_steps = int(np.ceil(T / tau0))
+    newton_its = np.zeros(num_steps, dtype=np.int32)
+    lvpp_its = np.zeros(num_steps, dtype=np.int32)
+    masses: List[np.ndarray] = []
+
+    for j in range(1, num_steps + 1):
+        if verbose:
+            rank_print(f"Step {j}/{num_steps}")
+        # latent warm start psi = ln(|u|+1e-7) + 1 (:183-196)
+        psi_init = jnp.log(jnp.abs(u_prev) + 1e-7) + 1.0
+        x = x.at[u_sl].set(u_prev)
+        x = x.at[psi_sl].set(psi_init)
+        psi_old = psi_init
+        u_old = jnp.zeros_like(u_prev)
+
+        for i in range(1, max_iterations + 1):
+            if alpha_scheme == "constant":
+                a = alpha_0
+            elif alpha_scheme == "linear":
+                a = min(alpha_0 + alpha_c * i, alpha_max)
+            elif alpha_scheme == "doubling":
+                a = min(alpha_0 * 2**i, alpha_max)
+            problem.update(
+                coeffs={"u_prev": u_prev, "psi_old": psi_old, "u_old": u_old},
+                consts={"alpha": jnp.asarray(a)})
+            res = newton.solve(x)
+            if not res.converged:
+                raise RuntimeError(
+                    f"Newton diverged at step {j} it {i}: {res.reason.name}")
+            x = res.x
+            newton_its[j - 1] += res.iterations
+            coeffs = dict(problem.coeffs)
+            diff = float(np.sqrt(max(float(l2_fn(x, coeffs, {})), 0.0)))
+            if verbose:
+                rank_print(f"Iteration {i}: alpha={a:.2e} "
+                           f"newton={res.iterations} |delta u|={diff:.3e}")
+            u_old = x[u_sl]
+            psi_old = x[psi_sl]
+            if diff < stopping_tol:
+                break
+        lvpp_its[j - 1] = i
+        u_prev = x[u_sl]
+        masses.append(np.array(
+            [float(mass_fn(x, problem.coeffs, {}))]))
+
+    return MultiphaseResult(u=np.asarray(u_prev),
+                            newton_iterations=newton_its,
+                            lvpp_iterations=lvpp_its,
+                            mass_history=masses)

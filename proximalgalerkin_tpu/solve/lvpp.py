@@ -34,7 +34,8 @@ class AlphaScheduler:
     """Step-size rules of the reference.
 
     constant:            alpha_k = C
-    linear:              alpha_k = C * (k + 1)
+    linear:              alpha_k = C + c * k
+                         (gradient_constraint_dolfinx.py:175: alpha_0 + alpha_c*i)
     doubling:            alpha_k = C * 2^k
     geometric:           alpha_k = C * r^k
     double_exponential:  alpha_k = max(C * r^(q^k) - alpha_prev, C)
@@ -46,6 +47,7 @@ class AlphaScheduler:
     C: float = 1.0
     r: float = 1.5
     q: float = 1.5
+    c: float = 1.0
     alpha_max: float = 1e5
     _prev_raw: float = field(default=1.0, repr=False)
 
@@ -57,7 +59,7 @@ class AlphaScheduler:
         if s == "constant":
             a = self.C
         elif s == "linear":
-            a = self.C * (k + 1)
+            a = self.C + self.c * k
         elif s == "doubling":
             a = self.C * 2.0**k
         elif s == "geometric":

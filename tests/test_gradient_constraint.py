@@ -1,0 +1,54 @@
+"""Example 06 (gradient constraint) golden tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from proximalgalerkin_tpu.models.gradient_constraint import (
+    solve_gradient_constraint, default_phi)
+
+
+@pytest.fixture(scope="module")
+def solved():
+    return solve_gradient_constraint(
+        N=16, M=16, primal_degree=2, max_iterations=25,
+        stopping_tol=1e-8, verbose=False, quadrature_degree=6)
+
+
+def test_converges(solved):
+    prob, res = solved
+    assert res.converged
+    assert res.iterations <= 25
+    assert 10 < res.total_newton < 120
+
+
+def test_constraint_mostly_satisfied(solved):
+    """|grad u| <= phi holds up to the (coarse-mesh) weak-enforcement
+    error; the mean positive violation must be small."""
+    prob, res = solved
+    form = prob.form
+    _, grads = form._eval_field("u", jnp.asarray(res.x), form.cell_data)
+    gn = np.linalg.norm(np.asarray(grads)[:, :, 0, :], axis=-1)
+    xq = np.asarray(form.xq)
+    phi_q = default_phi(xq.reshape(-1, 2).T).reshape(gn.shape)
+    viol = np.maximum(gn - phi_q, 0.0)
+    assert viol.mean() < 0.01
+    # interior max of u bounded by distance-weighted phi (sanity)
+    u = prob.u(res)
+    assert 0 < u.max() < 1.0
+
+
+def test_warm_start_runs():
+    prob, res = solve_gradient_constraint(
+        N=8, M=8, primal_degree=2, max_iterations=25, warm_start=True,
+        stopping_tol=1e-6, verbose=False, quadrature_degree=4)
+    assert res.converged
+
+
+def test_p1_dg0_latent():
+    """primal_degree=1 uses a DG0 vector latent."""
+    prob, res = solve_gradient_constraint(
+        N=8, M=8, primal_degree=1, max_iterations=30,
+        stopping_tol=1e-6, verbose=False, quadrature_degree=4)
+    assert res.converged
+    assert prob.Q.element.discontinuous

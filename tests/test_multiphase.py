@@ -1,0 +1,45 @@
+"""Example 04 (multiphase Cahn–Hilliard) tests: simplex constraint via
+softmax, implicit Euler conservation, per-step warm start."""
+
+import numpy as np
+import pytest
+
+from proximalgalerkin_tpu.models.multiphase import (
+    initial_condition, solve_multiphase)
+from proximalgalerkin_tpu.mesh import unit_square_mesh
+from proximalgalerkin_tpu.spaces import FunctionSpace
+
+
+@pytest.fixture(scope="module")
+def solved():
+    return solve_multiphase(N=10, M=10, tau0=1e-4, T=2e-4,
+                            stopping_tol=1e-5, verbose=False)
+
+
+def test_initial_condition_partition():
+    mesh = unit_square_mesh(10, 10, diagonal="crossed")
+    C = FunctionSpace.create(mesh, 1, value_size=4)
+    u0 = initial_condition(C).reshape(-1, 4)
+    assert np.allclose(u0.sum(axis=1), 1.0)
+    assert set(np.unique(u0)) <= {0.0, 1.0}
+    # all four species present
+    assert all(u0[:, m].max() == 1.0 for m in range(4))
+
+
+def test_simplex_constraint(solved):
+    u = solved.u.reshape(-1, 4)
+    # weak simplex enforcement: row sums ~ 1, values in [0,1] up to
+    # projection error
+    assert np.abs(u.sum(axis=1) - 1.0).max() < 1e-6
+    assert u.min() > -0.15 and u.max() < 1.15
+
+
+def test_mass_conserved(solved):
+    m = [float(x[0]) for x in solved.mass_history]
+    assert np.allclose(m, 1.0, atol=1e-10)
+
+
+def test_iteration_bookkeeping(solved):
+    assert len(solved.newton_iterations) == 2
+    assert (solved.lvpp_iterations >= 1).all()
+    assert (solved.newton_iterations >= solved.lvpp_iterations).all()
