@@ -55,8 +55,8 @@ def main():
     t0 = time.time()
     u0 = jnp.zeros(solver.N)
     p0 = jnp.ones(solver.N)
-    out = solver._newton(u0, p0, jnp.zeros(solver.N), jnp.asarray(1.0),
-                         solver.A_data, solver.ell.arrays)
+    out = solver._newton(u0, p0, jnp.zeros(solver.N), jnp.zeros(solver.N),
+                         jnp.asarray(1.0), solver.A_data, solver.ell.arrays)
     out[0].block_until_ready()
     print(f"# warmup (compile) {time.time() - t0:.1f}s", file=sys.stderr)
 

@@ -73,9 +73,17 @@ class VolumeForm:
     def __init__(self, space: MixedSpace, residual_fn: Callable,
                  quadrature_degree: int,
                  coeff_spaces: Optional[Mapping[str, object]] = None,
-                 dtype=jnp.float64):
+                 jacobian_fn: Optional[Callable] = None,
+                 dtype=jnp.float64, host_arrays: bool = False):
         self.space = space
         self.residual_fn = residual_fn
+        # Optional modified-Jacobian residual: its derivative is used for
+        # all Jacobian paths while residual_fn defines F — the analogue of
+        # passing an explicit J to SNESProblem (reference problem.py:19,
+        # 40-49; used for the stabilized QVI Jacobian
+        # thermoforming_dolfinx.py:70-71 and the regularized fracture
+        # Jacobian fracture_dolfinx.py:132-138).
+        self.jacobian_fn = jacobian_fn
         self.coeff_spaces = dict(coeff_spaces or {})
         self.dtype = dtype
         mesh = space.mesh
@@ -114,12 +122,17 @@ class VolumeForm:
             idx = dm[:, :, None] * m + np.arange(m)[None, None, :]
             coeff_idx[name] = jnp.asarray(idx.astype(np.int32))
 
+        # host_arrays=True keeps the big per-cell arrays as numpy (no HBM
+        # transfer at construction) — for forms only used for host-side
+        # assembly, e.g. the static-operator setup of the P1 fast path.
+        conv = (lambda a: np.asarray(a)) if host_arrays else \
+            (lambda a: jnp.asarray(a))
         self.cell_data: Dict[str, object] = {
-            "xq": jnp.asarray(geom.x, dtype),       # (e, q, gdim)
-            "wdet": jnp.asarray(geom.wdet, dtype),  # (e, q)
-            "G": jnp.asarray(geom.G, dtype),        # (e, q, gdim, tdim)
-            "gather_idx": gather_idx,               # {f: (e, i, m)}
-            "coeff_idx": coeff_idx,                 # {c: (e, i, m)}
+            "xq": conv(np.asarray(geom.x, dtype)),       # (e, q, gdim)
+            "wdet": conv(np.asarray(geom.wdet, dtype)),  # (e, q)
+            "G": conv(np.asarray(geom.G, dtype)),        # (e, q, gdim, tdim)
+            "gather_idx": {k: conv(v) for k, v in gather_idx.items()},
+            "coeff_idx": {k: conv(v) for k, v in coeff_idx.items()},
         }
 
     # convenience accessors (host-side use)
@@ -197,12 +210,13 @@ class VolumeForm:
               for k, g in cgrads.items()}
         return c, gc
 
-    def _pointwise(self, xq, svals, sgrads, cvals, cgrads, consts):
+    def _pointwise(self, xq, svals, sgrads, cvals, cgrads, consts,
+                   fn: Optional[Callable] = None):
         """Canonical-shape pointwise residual: inputs svals[f] (m,),
         sgrads[f] (m, gdim); returns canonical (a0 (m,), a1 (m, gdim))."""
         u, gu = self._user_shapes(svals, sgrads)
         c, gc = self._user_coeff_shapes(cvals, cgrads)
-        out = self.residual_fn(xq, u, gu, c, gc, consts)
+        out = (fn or self.residual_fn)(xq, u, gu, c, gc, consts)
         res = {}
         for f, m in self.field_m.items():
             a0, a1 = out.get(f, (None, None))
@@ -250,10 +264,37 @@ class VolumeForm:
 
     # ------------------------------------------------- matrix-free Jacobian
 
+    def _jacobian_residual_core(self, x, coeffs, consts, data=None):
+        """Residual whose derivative defines the Jacobian (may differ from
+        the true residual when jacobian_fn is set)."""
+        if self.jacobian_fn is None:
+            return self._residual_core(x, coeffs, consts, data)
+        data = self.cell_data if data is None else data
+        x = jnp.asarray(x, self.dtype)
+        vals, grads = {}, {}
+        for f in self.space.names:
+            vals[f], grads[f] = self._eval_field(f, x, data)
+        cv, cg = self._prepare_coeffs(coeffs, data)
+        pw = lambda xq, sv, sg, cvq, cgq: self._pointwise(
+            xq, sv, sg, cvq, cgq, consts, self.jacobian_fn)
+        t = jax.vmap(jax.vmap(pw))(data["xq"], vals, grads, cv, cg)
+        wdet, G = data["wdet"], data["G"]
+        F = jnp.zeros(self.space.num_dofs, self.dtype)
+        for f in self.space.names:
+            phi, dphi = self.tab[f]
+            a0, a1 = t[f]
+            wa0 = a0 * wdet[:, :, None]
+            wa1 = jnp.einsum("eqdt,eqmd->eqmt", G,
+                             a1 * wdet[:, :, None, None])
+            r = (jnp.einsum("qi,eqm->eim", phi, wa0)
+                 + jnp.einsum("qit,eqmt->eim", dphi, wa1))
+            F = F.at[data["gather_idx"][f].reshape(-1)].add(r.reshape(-1))
+        return F
+
     @cached_property
     def _jvp_jit(self):
         def action(x, v, coeffs, consts, data):
-            f = lambda y: self._residual_core(y, coeffs, consts, data)
+            f = lambda y: self._jacobian_residual_core(y, coeffs, consts, data)
             return jax.jvp(f, (x,), (v,))[1]
         return jax.jit(action)
 
@@ -273,9 +314,11 @@ class VolumeForm:
             vals[f], grads[f] = self._eval_field(f, x, data)
         cv, cg = self._prepare_coeffs(coeffs, data)
 
+        jfn = self.jacobian_fn
+
         def pw_jac(xq, sv, sg, cvq, cgq):
             return jax.jacfwd(lambda s: self._pointwise(
-                xq, s[0], s[1], cvq, cgq, consts))((sv, sg))
+                xq, s[0], s[1], cvq, cgq, consts, jfn))((sv, sg))
 
         K = jax.vmap(jax.vmap(pw_jac))(data["xq"], vals, grads, cv, cg)
         # K[f] = (Ja0, Ja1); Ja0 = ({g: d a0_f/d val_g}, {g: d a0_f/d grad_g})
@@ -352,9 +395,11 @@ class VolumeForm:
             vals[f], grads[f] = self._eval_field(f, x, data)
         cv, cg = self._prepare_coeffs(coeffs, data)
 
+        jfn = self.jacobian_fn
+
         def pw_jac(xq, sv, sg, cvq, cgq):
             return jax.jacfwd(lambda s: self._pointwise(
-                xq, s[0], s[1], cvq, cgq, consts))((sv, sg))
+                xq, s[0], s[1], cvq, cgq, consts, jfn))((sv, sg))
 
         K = jax.vmap(jax.vmap(pw_jac))(data["xq"], vals, grads, cv, cg)
         G, w = data["G"], data["wdet"]

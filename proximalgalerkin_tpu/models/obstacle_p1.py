@@ -92,19 +92,31 @@ class P1ObstacleSolver:
         self.N = N
         space = MixedSpace([("u", V)])
 
-        # stiffness via the assembly pipeline (Jacobian of the Poisson form)
+        # Static P1 stiffness + lumped mass assembled on HOST in numpy (no
+        # device compiles at setup — each tiny-op compile costs tens of
+        # seconds through the TPU tunnel), shipped to HBM in one transfer.
         form = VolumeForm(space, lambda x, u, gu, c, gc, k: {"u": (None, gu["u"])},
-                          quadrature_degree=2, dtype=dtype)
+                          quadrature_degree=2, dtype=dtype, host_arrays=True)
         bdofs = V.boundary_dofs()
         pattern = EllPattern.build(form.local_indices, N, bdofs)
         self.ell = EllMatrix(pattern, dtype)
-        Ae = form.element_matrices(space.zeros())
-        self.A_data = self.ell.assemble(Ae)
+
+        phi_t, dphi_t = V.element.tabulate(form.qpts)
+        from ..assembly.geometry import cell_geometry
+        geom = cell_geometry(mesh, form.qpts, form.qw)
+        gphi = np.einsum("eqdt,qit->eqid", geom.G, dphi_t)
+        Ae = np.einsum("eqid,eqjd,eq->eij", gphi, gphi, geom.wdet)
+        csr = np.zeros(pattern.nnz + 1)
+        np.add.at(csr, pattern.slot_map, Ae.reshape(-1))
+        csr[:pattern.nnz] = (csr[:pattern.nnz] * pattern.keep
+                             + pattern.diag_ones)
+        self.A_data = jnp.asarray(csr[pattern.ell_gather], dtype)
 
         # lumped mass vector: M_L[i] = ∫ phi_i dx
-        mass_form = VolumeForm(space, lambda x, u, gu, c, gc, k: {"u": (1.0, None)},
-                               quadrature_degree=2, dtype=dtype)
-        self.M_L = jnp.asarray(mass_form.residual(space.zeros()))
+        ML = np.zeros(N)
+        np.add.at(ML, form.local_indices.reshape(-1),
+                  np.einsum("qi,eq->ei", phi_t, geom.wdet).reshape(-1))
+        self.M_L = jnp.asarray(ML, dtype)
 
         self.phi = jnp.asarray(obstacle(V.dof_points.T), dtype)
         mask = np.ones(N)
@@ -149,7 +161,7 @@ class P1ObstacleSolver:
             g_p = interior * M_L * (u - jnp.exp(psi) - phi)
             return g_u, g_p
 
-        def newton_kernel(u, psi, psi_k, alpha, A_data, ea):
+        def newton_kernel(u, psi, psi_k, u_prev, alpha, A_data, ea):
             g_u0, g_p0 = residual(u, psi, psi_k, alpha, A_data, ea)
             norm0 = jnp.sqrt(jnp.vdot(g_u0, g_u0) + jnp.vdot(g_p0, g_p0))
             # relative tolerance with an absolute floor: late outer stages
@@ -203,7 +215,10 @@ class P1ObstacleSolver:
 
             it, u, psi, nrm, cg_total = jax.lax.while_loop(
                 cond, body, (0, u, psi, norm0, 0))
-            return u, psi, it, cg_total
+            # outer-loop increment fused here: one kernel per outer
+            # iteration, no extra small-op compiles on device
+            inc = jnp.linalg.norm(u - u_prev)
+            return u, psi, it, cg_total, inc
 
         self._newton = jax.jit(newton_kernel)
 
@@ -227,13 +242,13 @@ class P1ObstacleSolver:
                 alpha = min(max(C * r ** (q**k) - alpha, C), self.alpha_cap)
             except OverflowError:
                 alpha = self.alpha_cap
-            u, psi, nits, cg_its = self._newton(
-                u, psi, psi_k, jnp.asarray(alpha, self.dtype),
+            u, psi, nits, cg_its, inc_dev = self._newton(
+                u, psi, psi_k, u_prev, jnp.asarray(alpha, self.dtype),
                 self.A_data, ea)
             total += int(nits)
             per_outer.append(int(nits))
             psi_k = psi
-            inc = float(jnp.linalg.norm(u - u_prev))
+            inc = float(inc_dev)
             increments.append(inc)
             k_done = k + 1
             if verbose:

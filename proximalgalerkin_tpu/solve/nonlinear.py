@@ -111,8 +111,8 @@ class NonlinearProblem:
             else:
                 def Av(v):
                     w = v.at[bc_idx].set(0.0)
-                    f = lambda y: form._residual_core(y, coeffs, consts,
-                                                      cell_data)
+                    f = lambda y: form._jacobian_residual_core(
+                        y, coeffs, consts, cell_data)
                     y = jax.jvp(f, (x,), (w,))[1]
                     y = y.at[bc_idx].set(0.0)
                     return y.at[bc_idx].add(v[bc_idx])
