@@ -1,0 +1,46 @@
+"""Example 03 (phase-field fracture) tests: crack-plate mesh, irreversible
+damage interval map, load continuation with adaptive retry."""
+
+import numpy as np
+import pytest
+
+from proximalgalerkin_tpu.mesh.unstructured import create_crack_mesh
+from proximalgalerkin_tpu.models.fracture import solve_fracture
+
+
+def test_crack_mesh_regions():
+    tm = create_crack_mesh(0.15)
+    for name in ("bottom", "right", "topright", "crackright", "crackleft",
+                 "topleft", "left", "hole"):
+        assert len(tm.facets(name)) > 0, name
+    # mesh area ~ square minus hole minus notch
+    m = tm.mesh
+    pts = m.points[m.cell_vertices]
+    v1, v2 = pts[:, 1] - pts[:, 0], pts[:, 2] - pts[:, 0]
+    area = 0.5 * np.abs(v1[:, 0] * v2[:, 1] - v1[:, 1] * v2[:, 0]).sum()
+    assert abs(area - (4 - np.pi * 0.04 - 0.01)) < 0.05
+
+
+@pytest.fixture(scope="module")
+def solved():
+    return solve_fracture(max_res=0.2, Tmin=0.0, Tmax=2.4, num_load_steps=9,
+                          verbose=False)
+
+
+def test_damage_grows_monotonically(solved):
+    d = solved.max_damage_history
+    assert all(d[i + 1] >= d[i] - 2e-2 for i in range(len(d) - 1)), d
+    assert d[0] < 0.2
+    assert d[-1] > 0.5  # crack developed by the final load
+
+
+def test_damage_bounds(solved):
+    # 0 <= c <= 1 up to weak-enforcement error
+    assert solved.c.min() > -0.05
+    assert solved.c.max() < 1.1
+
+
+def test_antisymmetric_displacement(solved):
+    # u driven to +T on topright, -T on topleft
+    assert solved.u.max() > 0.5
+    assert solved.u.min() < -0.5
