@@ -197,6 +197,79 @@ class FacetForm:
         return self._residual_jit(x, coeffs or {}, consts or {},
                                   self.facet_data)
 
+    # ------------------------------------------------- element matrices
+
+    def _element_matrices_core(self, x, coeffs, consts, data=None):
+        """Facet element matrices (nfacets, L, L), L = sum_f nl_f * m_f —
+        jacfwd of the pointwise facet residual (value + gradient coupling
+        of a0 terms)."""
+        data = self.facet_data if data is None else data
+        x = jnp.asarray(x, self.dtype)
+        vals, grads = {}, {}
+        for f in self.space.names:
+            zc = x[data["gather_idx"][f]]
+            vals[f] = jnp.einsum("nqi,nim->nqm", data["tab"][f], zc)
+            grads[f] = jnp.einsum("nqid,nim->nqmd", data["gtab"][f], zc)
+        cv = {}
+        for name, arr in (coeffs or {}).items():
+            a = jnp.asarray(arr, self.dtype)
+            if a.ndim == 2:
+                a = a[:, :, None]
+            cv[name] = a
+
+        def pw(xq, sv, sg, cvq, nrm):
+            u = {f: (sv[f][0] if self.field_m[f] == 1 else sv[f])
+                 for f in self.space.names}
+            gu = {f: (sg[f][0] if self.field_m[f] == 1 else sg[f])
+                  for f in self.space.names}
+            c = {k: (v[0] if v.shape == (1,) else v) for k, v in cvq.items()}
+            out = self.residual_fn(xq, u, gu, c, {}, nrm, consts)
+            res = {}
+            for f, m in self.field_m.items():
+                a0 = out.get(f)
+                res[f] = (jnp.zeros((m,), self.dtype) if a0 is None
+                          else jnp.asarray(a0).reshape(m))
+            return res
+
+        def pw_jac(xq, sv, sg, cvq, nrm):
+            return jax.jacfwd(lambda s: pw(xq, s[0], s[1], cvq, nrm))(
+                (sv, sg))
+
+        K = jax.vmap(jax.vmap(pw_jac))(data["xq"], vals, grads, cv,
+                                       data["normals"])
+        w = data["wdet"]
+        blocks = []
+        for f in self.space.names:
+            tf = data["tab"][f]
+            row = []
+            for g in self.space.names:
+                tg, gg = data["tab"][g], data["gtab"][g]
+                K00 = K[f][0][g] * w[:, :, None, None]
+                K01 = K[f][1][g] * w[:, :, None, None, None]
+                t1 = jnp.einsum("nqi,nqab,nqj->niajb", tf, K00, tg)
+                t2 = jnp.einsum("nqi,nqabd,nqjd->niajb", tf, K01, gg)
+                A = t1 + t2
+                n, nlf, mf, nlg, mg = A.shape
+                row.append(A.reshape(n, nlf * mf, nlg * mg))
+            blocks.append(row)
+        return jnp.concatenate(
+            [jnp.concatenate(r, axis=2) for r in blocks], axis=1)
+
+    @cached_property
+    def _elmat_jit(self):
+        return jax.jit(lambda x, coeffs, consts, data:
+                       self._element_matrices_core(x, coeffs, consts, data))
+
+    def element_matrices(self, x, coeffs=None, consts=None):
+        return self._elmat_jit(x, coeffs or {}, consts or {},
+                               self.facet_data)
+
+    @cached_property
+    def local_indices(self) -> np.ndarray:
+        per = [np.asarray(self.facet_data["gather_idx"][f]).reshape(
+            len(self.facets), -1) for f in self.space.names]
+        return np.concatenate(per, axis=1)
+
     def make_functional(self, fn: Callable) -> Callable:
         """∫_Γ fn(x, u, gu, c, gc, n, consts) ds (boundary observables,
         e.g. the Signorini penetration integral signorini_dolfinx.py:309-314)."""

@@ -1,0 +1,141 @@
+"""Parametric geometries with graded resolution (gmsh-OCC replacement).
+
+Rebuilds the specific geometries src/lvpp/mesh_generation.py produces with
+gmsh: the half-disk contact specimen (create_half_disk, :11-83) with
+resolution graded from `res` at the contact arc to ~20x coarser away from
+it (threshold field :57-64). Graded interior point clouds come from greedy
+Poisson-disk-style thinning of a fine lattice against a spacing function,
+followed by filtered Delaunay and Lloyd smoothing (mesh/unstructured.py
+machinery).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import numpy as np
+from scipy.spatial import Delaunay, cKDTree
+
+from .mesh import Mesh
+from .unstructured import TaggedMesh, _build, _hex_lattice, _tag_boundary
+
+
+def _greedy_thin(cands: np.ndarray, h_fn: Callable, seed_pts: np.ndarray
+                 ) -> np.ndarray:
+    """Keep candidates so that no two kept points are closer than
+    ~0.85 * h(midpoint); seeded with fixed boundary points."""
+    h_c = h_fn(cands)
+    order = np.argsort(h_c)     # fill fine regions first
+    cell = {}
+
+    def key(p, h):
+        return (int(p[0] // h), int(p[1] // h))
+
+    kept = []
+    base = float(h_c.min())
+
+    # spatial hash at the finest spacing
+    def insert(p):
+        k = key(p, base)
+        cell.setdefault(k, []).append(p)
+
+    def near(p, r):
+        k0, k1 = key(p, base)
+        rr = int(np.ceil(r / base)) + 1
+        for a in range(k0 - rr, k0 + rr + 1):
+            for b in range(k1 - rr, k1 + rr + 1):
+                for q in cell.get((a, b), ()):
+                    if (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2 < r * r:
+                        return True
+        return False
+
+    for p in seed_pts:
+        insert(p)
+    for i in order:
+        p = cands[i]
+        r = 0.85 * h_c[i]
+        if not near(p, r):
+            insert(p)
+            kept.append(p)
+    return np.array(kept).reshape(-1, 2)
+
+
+def _sample_curve(param_fn, t0, t1, h_fn, max_pts=100000) -> np.ndarray:
+    """Adaptively sample a curve with local spacing h(point)."""
+    pts = [np.asarray(param_fn(t0), float)]
+    t = t0
+    # estimate of d|curve|/dt by finite difference
+    while t < t1 and len(pts) < max_pts:
+        p = np.asarray(param_fn(t), float)
+        dt = 1e-6 * (t1 - t0)
+        speed = np.linalg.norm(
+            np.asarray(param_fn(min(t + dt, t1))) - p) / dt
+        h = float(h_fn(p[None, :])[0])
+        t = t + h / max(speed, 1e-12)
+        if t >= t1:
+            break
+        pts.append(np.asarray(param_fn(t), float))
+    return np.array(pts)
+
+
+def create_half_disk(c_y: float = 0.5, R: float = 0.5, res: float = 0.04,
+                     coarsening: float = 20.0, smooth: int = 2
+                     ) -> TaggedMesh:
+    """Lower half-disk: center (0, c_y), radius R, flat top at y = c_y
+    (region 'displacement'), curved arc below (region 'contact'), with
+    resolution res at the arc growing to coarsening*res away from it
+    (mesh_generation.py:11-64)."""
+    center = np.array([0.0, c_y])
+
+    def arc_dist(x):
+        return np.abs(np.linalg.norm(x - center[None, :], axis=1) - R) \
+            + np.maximum(c_y - 1e9, 0) * 0  # distance to full circle; the
+        # relevant region is below the center line where the arc lives
+
+    def h_fn(x):
+        d = arc_dist(np.atleast_2d(x))
+        t = np.clip((d - 0.075 * R) / (0.425 * R), 0.0, 1.0)
+        return res * (1.0 + (coarsening - 1.0) * t)
+
+    # boundary: arc from (-R, c_y) to (R, c_y) through the bottom
+    arc = _sample_curve(
+        lambda t: center + R * np.array([np.cos(t), np.sin(t)]),
+        np.pi, 2.0 * np.pi, h_fn)
+    # flat top sampled right-to-left with graded spacing
+    top = _sample_curve(
+        lambda t: np.array([R - t, c_y]), 0.0, 2.0 * R, h_fn)
+    boundary = np.concatenate([arc, top], axis=0)
+    # dedupe near corners
+    tree = cKDTree(boundary)
+    pairs = tree.query_pairs(0.3 * res)
+    drop = {max(a, b) for a, b in pairs}
+    boundary = boundary[[i for i in range(len(boundary)) if i not in drop]]
+
+    def inside(x):
+        r = np.linalg.norm(x - center[None, :], axis=1)
+        return (r < R - 1e-12) & (x[:, 1] < c_y - 1e-12)
+
+    lat = _hex_lattice((center - R, np.array([R, c_y])), res)
+    cands = lat[inside(lat)]
+    btree = cKDTree(boundary)
+    d, _ = btree.query(cands)
+    cands = cands[d > 0.5 * res]
+    interior = _greedy_thin(cands, h_fn, boundary)
+
+    pts = np.concatenate([boundary, interior], axis=0)
+
+    def inside_c(x):
+        r = np.linalg.norm(x - center[None, :], axis=1)
+        return (r < R + 1e-9) & (x[:, 1] < c_y + 1e-9)
+
+    P, C = _build(pts, inside_c, cKDTree(boundary), res, smooth=smooth)
+    mesh = Mesh("triangle", P, C)
+
+    def dist_top(x):
+        return np.abs(x[:, 1] - c_y)
+
+    def dist_arc(x):
+        return np.abs(np.linalg.norm(x - center[None, :], axis=1) - R)
+
+    return _tag_boundary(mesh, [("displacement", dist_top),
+                                ("contact", dist_arc)])
