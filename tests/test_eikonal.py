@@ -1,0 +1,35 @@
+"""Example 09 (eikonal on Möbius strip) tests: manifold assembly
+(gdim=3/tdim=2), div-form mixed system, distance-function oracle."""
+
+import numpy as np
+import pytest
+
+from proximalgalerkin_tpu.mesh.manifolds import mobius_strip
+from proximalgalerkin_tpu.models.eikonal import solve_eikonal
+
+
+def test_mobius_mesh():
+    m = mobius_strip(24, 4, width=0.4)
+    assert m.gdim == 3 and m.tdim == 2
+    assert m.num_cells == 24 * 4
+    # the strip has a single boundary curve (the Möbius edge);
+    # boundary facet count = 2 * ns (both long edges joined by the twist)
+    assert len(m.exterior_facets) == 2 * 24
+
+
+@pytest.fixture(scope="module")
+def solved():
+    return solve_eikonal(ns=24, nt=4, verbose=False)
+
+
+def test_converges(solved):
+    assert solved.converged
+    assert solved.lvpp_iterations < 60
+    assert solved.total_newton < 150
+
+
+def test_distance_function(solved):
+    """|grad u| = 1 with u = 0 on the strip edge: the maximum equals the
+    distance from edge to centerline = width/2 = 0.2."""
+    assert abs(solved.u.max() - 0.2) < 0.02
+    assert solved.u.min() > -1e-3
