@@ -134,6 +134,8 @@ class LVPPSolver:
                  shrink_above_its: int = 10,
                  nfail_max: int = 50,
                  verbose: bool = True,
+                 checkpoint_path: Optional[str] = None,
+                 checkpoint_every: int = 1,
                  timer: Optional[PhaseTimer] = None):
         self.problem = problem
         self.newton = NewtonSolver(problem, SolverOptions(newton_options or {}),
@@ -151,8 +153,20 @@ class LVPPSolver:
         self.shrink_above_its = shrink_above_its
         self.nfail_max = nfail_max
         self.verbose = verbose
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = checkpoint_every
 
-    def solve(self, x0) -> LVPPResult:
+    def _save_checkpoint(self, x, x_k, k, alpha_scale, nfail, result):
+        from ..utils.checkpoint import LVPPCheckpoint
+        LVPPCheckpoint(
+            x=np.asarray(x), x_k=np.asarray(x_k), iteration=k,
+            alpha_prev_raw=self.alpha._prev_raw, alpha_scale=alpha_scale,
+            nfail=nfail, newton_steps=result.newton_steps,
+            step_sizes=result.step_sizes, increments=result.increments,
+            observables=result.observables).save(self.checkpoint_path)
+
+    def solve(self, x0, resume=None) -> LVPPResult:
+        """Solve from x0, or resume from an LVPPCheckpoint."""
         prob = self.problem
         x_k = prob.set_bc(jnp.asarray(x0, prob.form.dtype))
         result = LVPPResult(x=x_k, iterations=0, converged=False,
@@ -162,6 +176,19 @@ class LVPPSolver:
         alpha_scale = 1.0  # adaptive multiplier on the scheduled alpha
 
         k = 0
+        if resume is not None:
+            x_k = prob.set_bc(jnp.asarray(resume.x_k, prob.form.dtype))
+            k = resume.iteration
+            self.alpha._prev_raw = resume.alpha_prev_raw
+            alpha_scale = resume.alpha_scale
+            nfail = resume.nfail
+            result.newton_steps = list(resume.newton_steps)
+            result.step_sizes = list(resume.step_sizes)
+            result.increments = list(resume.increments)
+            result.observables = {n: list(v)
+                                  for n, v in resume.observables.items()}
+            result.iterations = k
+            result.x = x_k
         while k < self.max_iterations:
             a = self.alpha.value(k) * alpha_scale
             prob.update(consts={"alpha": jnp.asarray(a, prob.form.dtype)},
@@ -211,6 +238,9 @@ class LVPPSolver:
             # commit (only reached when converged)
             x_k = x
             result.x = x_k
+
+            if self.checkpoint_path and k % self.checkpoint_every == 0:
+                self._save_checkpoint(x, x_k, k, alpha_scale, nfail, result)
 
             if inc < self.tol:
                 result.converged = True
