@@ -46,7 +46,9 @@ def main():
 
     t0 = time.time()
     mesh = rectangle_mesh(n, n, p0=(-1.0, -1.0), p1=(1.0, 1.0))
-    solver = P1ObstacleSolver(mesh, alpha_cap=1e2, outer_tol=tol)
+    mixed = os.environ.get("PGTPU_BENCH_MIXED", "1") == "1"
+    solver = P1ObstacleSolver(mesh, alpha_cap=1e2, outer_tol=tol,
+                              mixed_precision=mixed)
     ndofs = 2 * solver.N  # mixed (u, psi) system size
     print(f"# setup {time.time() - t0:.1f}s, primal dofs {solver.N}, "
           f"mixed dofs {ndofs}", file=sys.stderr)
@@ -55,8 +57,12 @@ def main():
     t0 = time.time()
     u0 = jnp.zeros(solver.N)
     p0 = jnp.ones(solver.N)
-    out = solver._newton(u0, p0, jnp.zeros(solver.N), jnp.zeros(solver.N),
-                         jnp.asarray(1.0), solver.A_data, solver.ell.arrays)
+    ea = solver.ell.arrays
+    out = solver._newton(
+        u0, p0, jnp.zeros(solver.N), jnp.zeros(solver.N), jnp.asarray(1.0),
+        solver.A_data, ea,
+        solver.A32 if solver.mixed_precision else solver.A_data,
+        solver.ea32 if solver.mixed_precision else ea)
     out[0].block_until_ready()
     print(f"# warmup (compile) {time.time() - t0:.1f}s", file=sys.stderr)
 

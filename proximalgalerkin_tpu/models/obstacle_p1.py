@@ -46,6 +46,7 @@ class P1ObstacleResult:
 
 
 def _cg(matvec, b, Minv, tol, maxiter):
+    tiny = jnp.asarray(np.finfo(np.dtype(b.dtype)).tiny, b.dtype)
     x0 = jnp.zeros_like(b)
     r = b
     z = Minv * r
@@ -55,21 +56,28 @@ def _cg(matvec, b, Minv, tol, maxiter):
     stop = tol * tol * bnorm2
 
     def cond(state):
-        i, x, r, z, p, rz = state
-        return jnp.logical_and(i < maxiter, jnp.vdot(r, r) > stop)
+        i, x, r, z, p, rz, ok = state
+        return jnp.logical_and(
+            ok, jnp.logical_and(i < maxiter, jnp.vdot(r, r) > stop))
 
     def body(state):
-        i, x, r, z, p, rz = state
+        i, x, r, z, p, rz, ok = state
         Ap = matvec(p)
-        a = rz / jnp.vdot(p, Ap)
+        pAp = jnp.vdot(p, Ap)
+        # breakdown detection: near the dtype's noise floor p'Ap can round
+        # to <= 0 (refinement passes enter with |b| at roundoff level);
+        # stop instead of dividing
+        good = jnp.logical_and(pAp > tiny, rz > tiny)
+        a = jnp.where(good, rz / jnp.where(good, pAp, 1.0), 0.0)
         x = x + a * p
         r = r - a * Ap
         z = Minv * r
         rz_new = jnp.vdot(r, z)
-        p = z + (rz_new / rz) * p
-        return i + 1, x, r, z, p, rz_new
+        p = z + jnp.where(good, rz_new / jnp.where(good, rz, 1.0), 0.0) * p
+        return i + 1, x, r, z, p, rz_new, good
 
-    out = jax.lax.while_loop(cond, body, (0, x0, r, z, p, rz))
+    out = jax.lax.while_loop(cond, body,
+                             (0, x0, r, z, p, rz, jnp.asarray(True)))
     return out[1], out[0]
 
 
@@ -84,6 +92,7 @@ class P1ObstacleSolver:
                  newton_max: int = 50,
                  cg_tol: float = 1e-10,
                  cg_max: Optional[int] = None,
+                 mixed_precision: bool = False,
                  dtype=jnp.float64):
         self.mesh = mesh
         V = FunctionSpace.create(mesh, 1)
@@ -130,7 +139,18 @@ class P1ObstacleSolver:
         self.newton_max = newton_max
         self.cg_tol = cg_tol
         self.cg_max = cg_max or 40 * int(np.sqrt(N))
+        self.mixed_precision = mixed_precision
         self.dtype = dtype
+        # f32 copies for the mixed-precision inner CG (v5e has no native
+        # f64; emulated f64 while-loops are ~10x slower and have shown
+        # worker instability under sustained load — the inner Krylov runs
+        # in native f32 with f64 iterative refinement wrapped around it)
+        if mixed_precision:
+            self.A32 = self.A_data.astype(jnp.float32)
+            self.ea32 = dict(self.ell.arrays,
+                             keep=self.ell.arrays["keep"].astype(jnp.float32),
+                             diag_ones=self.ell.arrays["diag_ones"].astype(
+                                 jnp.float32))
 
         ell = self.ell
         interior = self.interior
@@ -161,7 +181,11 @@ class P1ObstacleSolver:
             g_p = interior * M_L * (u - jnp.exp(psi) - phi)
             return g_u, g_p
 
-        def newton_kernel(u, psi, psi_k, u_prev, alpha, A_data, ea):
+        mixed = self.mixed_precision
+        f32 = jnp.float32
+
+        def newton_kernel(u, psi, psi_k, u_prev, alpha, A_data, ea,
+                          A32, ea32):
             g_u0, g_p0 = residual(u, psi, psi_k, alpha, A_data, ea)
             norm0 = jnp.sqrt(jnp.vdot(g_u0, g_u0) + jnp.vdot(g_p0, g_p0))
             # relative tolerance with an absolute floor: late outer stages
@@ -171,11 +195,11 @@ class P1ObstacleSolver:
             diagA = ell.diagonal(A_data, ea)
 
             def cond(state):
-                it, u, psi, nrm, cg_total = state
+                it, u, psi, nrm, cg_total, best = state
                 return jnp.logical_and(it < newton_max_, nrm > stop)
 
             def body(state):
-                it, u, psi, _, cg_total = state
+                it, u, psi, _, cg_total, best = state
                 g_u, g_p = residual(u, psi, psi_k, alpha, A_data, ea)
                 d = M_L * jnp.exp(psi)            # underflow to 0 is fine
                 row_scale = alpha * diagA + M_L
@@ -199,7 +223,50 @@ class P1ObstacleSolver:
                         free, alpha * ell.spmv(A_data, vf, ea) + m2d * v, v)
 
                 diagS = jnp.where(free, alpha * diagA + m2d, 1.0)
-                w, cg_its = _cg(S, rhs, 1.0 / diagS, cg_tol_, cg_max_)
+                if not mixed:
+                    w, cg_its = _cg(S, rhs, 1.0 / diagS, cg_tol_, cg_max_)
+                else:
+                    # inner CG in native f32 on the symmetrically
+                    # Jacobi-scaled system D^{-1/2} S D^{-1/2} (unit
+                    # diagonal, rows bounded O(1) — unscaled Schur rows
+                    # reach ~1e14 near the active threshold and overflow
+                    # f32 norms), with two f64 refinement passes around it
+                    sq = jnp.sqrt(diagS)
+                    sqinv = 1.0 / sq
+                    sqinv32 = sqinv.astype(f32)
+                    m2d32 = m2d.astype(f32)
+                    alpha32 = alpha.astype(f32)
+                    ones32 = jnp.ones_like(sqinv32)
+
+                    def S32t(vt):
+                        v = vt * sqinv32
+                        vf = jnp.where(free, v, jnp.asarray(0.0, f32))
+                        y = jnp.where(
+                            free,
+                            alpha32 * ell.spmv(A32, vf, ea32) + m2d32 * v, v)
+                        return y * sqinv32
+
+                    def solve32(b64):
+                        bt = (b64 * sqinv).astype(f32)
+                        xt, its = _cg(S32t, bt, ones32,
+                                      max(cg_tol_, 2e-6), cg_max_)
+                        return (xt.astype(u.dtype) * sqinv), its
+
+                    w, cg_its = solve32(rhs)
+                    rhsn2 = jnp.vdot(rhs, rhs)
+                    for _ in range(2):
+                        r = jnp.where(free, rhs - S(w), 0.0)
+                        rn2 = jnp.vdot(r, r)
+                        # refine only while the relative residual is above
+                        # ~1e-9 — beyond that the f32 CG operates at its
+                        # noise floor and returns garbage
+                        e, its2 = jax.lax.cond(
+                            rn2 > 1e-18 * rhsn2,
+                            lambda rr: solve32(rr),
+                            lambda rr: (jnp.zeros_like(rr), 0),
+                            r)
+                        w = w + e
+                        cg_its = cg_its + its2
                 du = jnp.where(free, w, du_a)
                 # back-substitute dpsi from the FIRST (linear) Newton row:
                 # alpha A du + M_L dpsi = -g_u — no division by exp(psi),
@@ -211,10 +278,20 @@ class P1ObstacleSolver:
                 psi = jnp.minimum(psi + dpsi, PSI_TOP)
                 g_u, g_p = residual(u, psi, psi_k, alpha, A_data, ea)
                 nrm = jnp.sqrt(jnp.vdot(g_u, g_u) + jnp.vdot(g_p, g_p))
-                return it + 1, u, psi, nrm, cg_total + cg_its
+                # track the best iterate: Newton restarted at an
+                # already-converged state with an unreachable tolerance
+                # must not drift away (SNES never returns a worse state)
+                bu, bp, bn = best
+                improved = nrm < bn
+                best = (jnp.where(improved, u, bu),
+                        jnp.where(improved, psi, bp),
+                        jnp.minimum(nrm, bn))
+                return it + 1, u, psi, nrm, cg_total + cg_its, best
 
-            it, u, psi, nrm, cg_total = jax.lax.while_loop(
-                cond, body, (0, u, psi, norm0, 0))
+            init_best = (u, psi, norm0)
+            it, _, _, nrm, cg_total, best = jax.lax.while_loop(
+                cond, body, (0, u, psi, norm0, 0, init_best))
+            u, psi, nrm = best
             # outer-loop increment fused here: one kernel per outer
             # iteration, no extra small-op compiles on device
             inc = jnp.linalg.norm(u - u_prev)
@@ -244,7 +321,9 @@ class P1ObstacleSolver:
                 alpha = self.alpha_cap
             u, psi, nits, cg_its, inc_dev = self._newton(
                 u, psi, psi_k, u_prev, jnp.asarray(alpha, self.dtype),
-                self.A_data, ea)
+                self.A_data, ea,
+                self.A32 if self.mixed_precision else self.A_data,
+                self.ea32 if self.mixed_precision else ea)
             total += int(nits)
             per_outer.append(int(nits))
             psi_k = psi
