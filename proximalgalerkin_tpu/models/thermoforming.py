@@ -78,7 +78,10 @@ def solve_thermoforming(
 
     def residual(x, u, gu, c, gc, consts):
         alpha = consts["alpha"]
-        expm = jnp.exp(-u["psi"])
+        # overflow guard: Newton can overshoot psi far negative before the
+        # linesearch recovers; exp stays finite and the eps-stabilized
+        # Jacobian (:70-71) keeps the clipped rows nonsingular
+        expm = jnp.exp(-jnp.clip(u["psi"], -45.0, 45.0))
         a0_u = u["psi"] - c["psi_prev"] - alpha * f
         a1_u = alpha * gu["u"]
         a0_T = beta * u["T"] - g(expm)
@@ -123,6 +126,7 @@ def solve_thermoforming(
     alpha = alpha_0
     newton_its: List[int] = []
     converged = False
+    nfail = 0
     i = 0
     for i in range(1, max_lvpp_iterations + 1):
         if verbose:
@@ -132,8 +136,15 @@ def solve_thermoforming(
                        consts={"alpha": jnp.asarray(alpha)})
         res = newton.solve(x)
         if not res.converged:
-            raise NotConvergedError(res.reason,
-                                    f"Solver did not converge {res.reason}")
+            # LVPP failure-retry (the fracture/eigenvalue pattern,
+            # fracture_dolfinx.py:243-264): halve alpha, roll back, retry
+            nfail += 1
+            if nfail > 20:
+                raise NotConvergedError(
+                    res.reason, f"Solver did not converge {res.reason}")
+            alpha = alpha / 2.0
+            x = x_prev
+            continue
         x = res.x
         newton_its.append(res.iterations)
         coeffs = dict(problem.coeffs)
