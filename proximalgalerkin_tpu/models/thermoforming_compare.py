@@ -111,13 +111,13 @@ def moreau_yosida_solve(M: int = 150, q_bound: float = 0.01, f: float = 25.0,
         problem.update(consts={"gamma": jnp.asarray(gamma)})
         u_prev = x[u_sl]
         res = newton.solve(x)
-        if not bool(jnp.all(jnp.isfinite(res.x))):
-            rank_print(f"MY Newton produced non-finite state; stopping")
-            break
-        # accept the last iterate even at max_it: the penalty path keeps
-        # tightening and later stages re-polish (full-step Newton can cycle
-        # on the max() kink at large gamma)
-        x = res.x
+        ok = (bool(jnp.all(jnp.isfinite(res.x)))
+              and res.fnorm <= res.fnorm_history[0])
+        # accept only residual-reducing iterates: full-step Newton can
+        # cycle on the max() kink at large gamma; the penalty path keeps
+        # tightening either way
+        if ok:
+            x = res.x
         linear_solves += res.iterations
         cauchy = float(np.sqrt(max(float(
             h1_fn(x, {"u_prev": u_prev}, {})), 0.0)))
