@@ -1,0 +1,201 @@
+"""Example 01 (spectral variant) — LVPP obstacle problem on the unit disk
+with a Zernike polynomial basis.
+
+Rebuild of examples/01_obstacle_problem/obstacle_spectral.jl: the latent
+nonlinearity is applied in physical (quadrature-grid) space and projected
+back through dense transforms (:49-63), with a polynomial-degree sweep
+(:88-144). TPU-first design: instead of the Julia package's sparse Zernike
+operator calculus + LU-preconditioned GMRES, the Galerkin operators
+(stiffness, mass, basis-to-grid Vandermonde) are DENSE matrices built once
+by quadrature — every hot step is a dense matmul/solve on the MXU.
+
+Basis: Zernike functions Z_n^m(r, th) = R_n^m(r) {cos, sin}(m th) with
+radial Jacobi-polynomial formula; the primal space is Dirichlet-weighted
+(1 - r^2) Z (u = 0 at r = 1), the latent space is unweighted Z.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..elements.orthopoly import jacobi_p
+from .obstacle import spherical_cap_obstacle
+
+
+def _zernike_radial(n: int, m: int, r: np.ndarray) -> np.ndarray:
+    """R_n^m(r) via the Jacobi-polynomial representation."""
+    k = (n - m) // 2
+    return (-1.0) ** k * r**m * jacobi_p(1.0 - 2.0 * r**2, float(m), 0.0, k)
+
+
+def _disk_quadrature(p: int):
+    """Quadrature exact for polynomials of degree ~2p+4 on the unit disk:
+    Gauss–Legendre in s = r^2 (absorbs the r dr measure), trapezoid in
+    theta (spectral for the periodic direction)."""
+    nr = p + 4
+    ntheta = 4 * p + 8
+    xs, ws = np.polynomial.legendre.leggauss(nr)
+    s = 0.5 * (xs + 1.0)
+    wr = 0.5 * ws            # integral over s in [0,1]; r dr = ds/2
+    r = np.sqrt(s)
+    th = np.linspace(0.0, 2.0 * np.pi, ntheta, endpoint=False)
+    wth = np.full(ntheta, 2.0 * np.pi / ntheta)
+    R, TH = np.meshgrid(r, th, indexing="ij")
+    W = 0.5 * np.outer(wr, wth) * 2.0  # r dr dth = (1/2) ds dth
+    return R.ravel(), TH.ravel(), W.ravel()
+
+
+def _basis_tables(p: int, r, th, weighted: bool):
+    """Vandermonde V (nq, nbasis) and gradient tables (nq, nbasis, 2) in
+    Cartesian components, built by numerical differentiation of the radial
+    part (analytic in theta)."""
+    modes = []
+    for m in range(0, p + 1):
+        for n in range(m, p + 1, 2):
+            modes.append((n, m, 0))
+            if m > 0:
+                modes.append((n, m, 1))
+    nb = len(modes)
+    nq = len(r)
+    V = np.zeros((nq, nb))
+    Gr = np.zeros((nq, nb))     # d/dr
+    Gt = np.zeros((nq, nb))     # (1/r) d/dth (angular physical component)
+    h = 1e-6
+    rp, rm = np.clip(r + h, 0, None), np.clip(r - h, 0, None)
+    w = (1.0 - r**2) if weighted else np.ones_like(r)
+    wp = (1.0 - rp**2) if weighted else np.ones_like(r)
+    wm = (1.0 - rm**2) if weighted else np.ones_like(r)
+    rsafe = np.maximum(r, 1e-12)
+    for j, (n, m, s_) in enumerate(modes):
+        Rad = _zernike_radial(n, m, r)
+        ang = np.cos(m * th) if s_ == 0 else np.sin(m * th)
+        dang = (-m * np.sin(m * th)) if s_ == 0 else (m * np.cos(m * th))
+        V[:, j] = w * Rad * ang
+        dR = (wp * _zernike_radial(n, m, rp)
+              - wm * _zernike_radial(n, m, rm)) / (rp - rm)
+        Gr[:, j] = dR * ang
+        Gt[:, j] = w * Rad * dang / rsafe
+    # Cartesian gradient components
+    ct, st = np.cos(th), np.sin(th)
+    Gx = Gr * ct[:, None] - Gt * st[:, None]
+    Gy = Gr * st[:, None] + Gt * ct[:, None]
+    return V, Gx, Gy
+
+
+@dataclass
+class SpectralObstacleResult:
+    degrees: List[int]
+    newton_its: List[int]
+    sup_errors: List[float]
+    u_grid_fn: Callable        # u(r, theta) evaluator for the last degree
+
+
+def spectral_obstacle_solve(p: int, obstacle=spherical_cap_obstacle,
+                            alpha_cap: float = 1e2, outer_tol: float = 1e-9,
+                            newton_tol: float = 1e-4, newton_max: int = 50,
+                            verbose: bool = False):
+    """One LVPP solve at Zernike degree p. Returns (modes data, newton
+    count, u coefficient vector, evaluator)."""
+    r, th, wq = _disk_quadrature(p)
+    Vu, Gxu, Gyu = _basis_tables(p, r, th, weighted=True)
+    Vp, _, _ = _basis_tables(p, r, th, weighted=False)
+
+    x = r * np.cos(th)
+    y = r * np.sin(th)
+    phi = obstacle(np.stack([x, y]))
+
+    # dense Galerkin operators (MXU matmuls)
+    A = (Gxu * wq[:, None]).T @ Gxu + (Gyu * wq[:, None]).T @ Gyu
+    Mup = (Vu * wq[:, None]).T @ Vp         # <Z_u, Z_psi>
+    Mpp = (Vp * wq[:, None]).T @ Vp
+
+    A_j = jnp.asarray(A)
+    Mup_j = jnp.asarray(Mup)
+    Mpp_j = jnp.asarray(Mpp)
+    Vu_j = jnp.asarray(Vu)
+    Vp_j = jnp.asarray(Vp)
+    wq_j = jnp.asarray(wq)
+    phi_j = jnp.asarray(phi)
+    nu, npsi = Vu.shape[1], Vp.shape[1]
+
+    @jax.jit
+    def newton_solve(cu, cp, cp_k, alpha):
+        def resid(cu, cp):
+            psi_phys = Vp_j @ cp
+            Fu = alpha * (A_j @ cu) + Mup_j @ (cp - cp_k)
+            # latent row: <u - exp(psi) - phi, w> over the grid
+            gap = Vu_j @ cu - jnp.exp(psi_phys) - phi_j
+            Fp = Vp_j.T @ (wq_j * gap)
+            return jnp.concatenate([Fu, Fp])
+
+        def step(carry):
+            it, cu, cp, nrm = carry
+            F = resid(cu, cp)
+            J = jax.jacfwd(lambda z: resid(z[:nu], z[nu:]))(
+                jnp.concatenate([cu, cp]))
+            dz = jnp.linalg.solve(J, -F)
+            cu2, cp2 = cu + dz[:nu], cp + dz[nu:]
+            F2 = resid(cu2, cp2)
+            return it + 1, cu2, cp2, jnp.linalg.norm(F2)
+
+        F0 = jnp.linalg.norm(resid(cu, cp))
+        out = jax.lax.while_loop(
+            lambda c: jnp.logical_and(c[0] < newton_max,
+                                      c[3] > newton_tol * F0),
+            step, (0, cu, cp, F0))
+        return out[1], out[2], out[0]
+
+    cu = jnp.zeros(nu)
+    cp = jnp.zeros(npsi)
+    cp_k = jnp.zeros(npsi)
+    cu_prev = jnp.zeros(nu)
+    alpha = 1.0
+    total = 0
+    for k in range(100):
+        try:
+            alpha = min(max(1.5 ** (1.5**k) - alpha, 1.0), alpha_cap)
+        except OverflowError:
+            alpha = alpha_cap
+        cu, cp, nits = newton_solve(cu, cp, cp_k, jnp.asarray(alpha))
+        total += int(nits)
+        cp_k = cp
+        inc = float(jnp.linalg.norm(cu - cu_prev))
+        if verbose:
+            print(f"p={p} outer {k + 1} alpha={alpha:.3g} newton={int(nits)} "
+                  f"inc={inc:.2e}")
+        if inc < outer_tol:
+            break
+        cu_prev = cu
+
+    def u_eval(rr, tt):
+        Ve, _, _ = _basis_tables(p, np.atleast_1d(rr), np.atleast_1d(tt),
+                                 weighted=True)
+        return Ve @ np.asarray(cu)
+
+    return np.asarray(cu), total, u_eval
+
+
+def spectral_p_sweep(ps=(8, 16, 24, 32, 40, 48), verbose=False
+                     ) -> SpectralObstacleResult:
+    """Degree sweep (obstacle_spectral.jl:88-144): records Newton totals
+    and successive sup-differences on a sample grid."""
+    rs = np.linspace(0.0, 0.97, 40)
+    ths = np.linspace(0.0, 2 * np.pi, 24, endpoint=False)
+    RR, TT = [a.ravel() for a in np.meshgrid(rs, ths, indexing="ij")]
+    prev = None
+    res = SpectralObstacleResult([], [], [], None)
+    for p in ps:
+        cu, its, ev = spectral_obstacle_solve(p, verbose=verbose)
+        vals = ev(RR, TT)
+        res.degrees.append(p)
+        res.newton_its.append(its)
+        res.sup_errors.append(
+            float(np.abs(vals - prev).max()) if prev is not None else np.nan)
+        res.u_grid_fn = ev
+        prev = vals
+    return res

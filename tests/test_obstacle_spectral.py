@@ -1,0 +1,29 @@
+"""Spectral (Zernike) obstacle solver tests."""
+
+import numpy as np
+import pytest
+
+from proximalgalerkin_tpu.models.obstacle_spectral import (
+    spectral_obstacle_solve, spectral_p_sweep)
+
+
+def test_sweep_converges():
+    res = spectral_p_sweep(ps=(8, 12, 16), verbose=False)
+    assert res.newton_its[0] > 5
+    # successive sup-differences shrink with degree
+    assert res.sup_errors[2] < res.sup_errors[1]
+
+
+def test_matches_fem_on_disk():
+    cu, its, ev = spectral_obstacle_solve(14)
+    from proximalgalerkin_tpu.mesh.unstructured import create_disk_mesh
+    from proximalgalerkin_tpu.models.obstacle_p1 import P1ObstacleSolver
+    mesh = create_disk_mesh(0.07)
+    s = P1ObstacleSolver(mesh)
+    r1 = s.solve()
+    pts = s.V.dof_points
+    rr = np.sqrt(pts[:, 0] ** 2 + pts[:, 1] ** 2)
+    tt = np.arctan2(pts[:, 1], pts[:, 0])
+    sel = rr < 0.9
+    uspec = ev(rr[sel], tt[sel])
+    assert np.abs(uspec - r1.u[sel]).max() < 0.08
