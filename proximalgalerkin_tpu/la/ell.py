@@ -44,12 +44,15 @@ class EllPattern:
     @classmethod
     def build(cls, local_indices: np.ndarray, num_dofs: int,
               bc_idx: Optional[np.ndarray] = None) -> "EllPattern":
+        from ..native import unique_with_inverse
         gi = np.asarray(local_indices, dtype=np.int64)
         E, L = gi.shape
         rows = np.repeat(gi, L, axis=1).reshape(-1)
         cols = np.tile(gi, (1, L)).reshape(-1)
         key = rows * num_dofs + cols
-        uniq, slot = np.unique(key, return_inverse=True)
+        # native C++ sort-dedup (numpy fallback inside) — the setup hot
+        # spot at 1M+ dofs
+        uniq, slot = unique_with_inverse(key)
         nnz = len(uniq)
         urow = (uniq // num_dofs).astype(np.int64)
         ucol = (uniq % num_dofs).astype(np.int64)

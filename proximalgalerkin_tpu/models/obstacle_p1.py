@@ -113,18 +113,19 @@ class P1ObstacleSolver:
         phi_t, dphi_t = V.element.tabulate(form.qpts)
         from ..assembly.geometry import cell_geometry
         geom = cell_geometry(mesh, form.qpts, form.qw)
+        from ..native import scatter_add
         gphi = np.einsum("eqdt,qit->eqid", geom.G, dphi_t)
         Ae = np.einsum("eqid,eqjd,eq->eij", gphi, gphi, geom.wdet)
-        csr = np.zeros(pattern.nnz + 1)
-        np.add.at(csr, pattern.slot_map, Ae.reshape(-1))
+        csr = scatter_add(Ae.reshape(-1), pattern.slot_map,
+                          pattern.nnz + 1)
         csr[:pattern.nnz] = (csr[:pattern.nnz] * pattern.keep
                              + pattern.diag_ones)
         self.A_data = jnp.asarray(csr[pattern.ell_gather], dtype)
 
         # lumped mass vector: M_L[i] = ∫ phi_i dx
-        ML = np.zeros(N)
-        np.add.at(ML, form.local_indices.reshape(-1),
-                  np.einsum("qi,eq->ei", phi_t, geom.wdet).reshape(-1))
+        ML = scatter_add(
+            np.einsum("qi,eq->ei", phi_t, geom.wdet).reshape(-1),
+            form.local_indices.reshape(-1).astype(np.int64), N)
         self.M_L = jnp.asarray(ML, dtype)
 
         self.phi = jnp.asarray(obstacle(V.dof_points.T), dtype)
