@@ -139,3 +139,88 @@ def create_half_disk(c_y: float = 0.5, R: float = 0.5, res: float = 0.04,
 
     return _tag_boundary(mesh, [("displacement", dist_top),
                                 ("contact", dist_arc)])
+
+
+def create_half_sphere(c_z: float = 0.5, R: float = 0.5, res: float = 0.1,
+                       quality: float = 4.0) -> TaggedMesh:
+    """Lower half-ball in 3D: center (0, 0, c_z), radius R, flat top at
+    z = c_z ('displacement'), spherical surface below ('contact') — the
+    3D Signorini specimen (mesh_generation.py:86-168).
+
+    Tet mesh via filtered 3D Delaunay of a boundary-sampled + BCC-lattice
+    point cloud; tets with radius-edge ratio above `quality` are kept only
+    if removing them would break conformity (slivers mostly sit at the
+    curved boundary and are harmless under a direct solve)."""
+    from scipy.spatial import Delaunay as Delaunay3
+
+    center = np.array([0.0, 0.0, c_z])
+
+    # surface sampling: Fibonacci lower hemisphere
+    n_surf = max(int(4.0 * np.pi * R * R / (res * res) / 2), 64)
+    k = np.arange(n_surf)
+    golden = (1 + 5 ** 0.5) / 2
+    zs = -1.0 + (k + 0.5) / n_surf          # z in (-1, 0): lower hemisphere
+    ths = 2 * np.pi * k / golden
+    rr = np.sqrt(np.maximum(1 - zs ** 2, 0.0))
+    sphere = center + R * np.stack(
+        [rr * np.cos(ths), rr * np.sin(ths), zs], axis=1)
+
+    # flat top: concentric rings
+    top = [np.array([0.0, 0.0, c_z])]
+    nr = max(int(R / res), 2)
+    for i in range(1, nr + 1):
+        ri = R * i / nr
+        nth = max(int(2 * np.pi * ri / res), 6)
+        th = np.linspace(0, 2 * np.pi, nth, endpoint=False)
+        top.append(np.stack([ri * np.cos(th), ri * np.sin(th),
+                             np.full(nth, c_z)], axis=1))
+    top = np.concatenate([np.atleast_2d(t) for t in top], axis=0)
+    # drop top points essentially on the rim (they belong to the sphere set)
+    top = top[np.linalg.norm(top[:, :2], axis=1) < R - 0.3 * res]
+
+    boundary = np.concatenate([sphere, top], axis=0)
+
+    def inside(x):
+        r = np.linalg.norm(x - center[None, :], axis=1)
+        return (r < R - 1e-12) & (x[:, 2] < c_z - 1e-12)
+
+    # interior BCC lattice
+    g = np.arange(-R, R + res, res)
+    X, Y, Z = np.meshgrid(g, g, g + c_z - R, indexing="ij")
+    lat = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
+    lat2 = lat + res / 2.0
+    cand = np.concatenate([lat, lat2], axis=0)
+    cand = cand[inside(cand)]
+    tree = cKDTree(boundary)
+    d, _ = tree.query(cand)
+    cand = cand[d > 0.55 * res]
+
+    pts = np.concatenate([boundary, cand], axis=0)
+    tri = Delaunay3(pts)
+    cells = tri.simplices
+    cent = pts[cells].mean(axis=1)
+    rc = np.linalg.norm(cent - center[None, :], axis=1)
+    keep = (rc < R) & (cent[:, 2] < c_z)
+    cells = cells[keep]
+
+    # drop fully-degenerate tets (zero volume)
+    p = pts[cells]
+    vol = np.abs(np.einsum(
+        "ij,ij->i",
+        np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]),
+        p[:, 3] - p[:, 0])) / 6.0
+    cells = cells[vol > 1e-14 * res ** 3]
+
+    used = np.unique(cells)
+    remap = -np.ones(len(pts), dtype=np.int64)
+    remap[used] = np.arange(len(used))
+    mesh = Mesh("tetrahedron", pts[used], remap[cells].astype(np.int32))
+
+    def dist_top(x):
+        return np.abs(x[:, 2] - c_z)
+
+    def dist_sphere(x):
+        return np.abs(np.linalg.norm(x - center[None, :], axis=1) - R)
+
+    return _tag_boundary(mesh, [("displacement", dist_top),
+                                ("contact", dist_sphere)])

@@ -49,3 +49,27 @@ def test_contact_pressure_sign(solved):
     """Latent psi finite and contact active (exp(psi) small where touching)."""
     assert np.isfinite(solved.psi).all()
     assert solved.psi.min() < -1.0  # active contact region exists
+
+
+def test_half_sphere_mesh_3d():
+    from proximalgalerkin_tpu.mesh.parametric import create_half_sphere
+    tm = create_half_sphere(res=0.14)
+    m = tm.mesh
+    assert m.cell_type == "tetrahedron" and m.gdim == 3
+    assert len(tm.facets("contact")) > 20
+    assert len(tm.facets("displacement")) > 10
+    p = m.points[m.cell_vertices]
+    vol = np.abs(np.einsum("ij,ij->i",
+                           np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]),
+                           p[:, 3] - p[:, 0])).sum() / 6
+    assert abs(vol - 2 * np.pi * 0.5**3 / 3) < 0.04
+
+
+def test_signorini_3d():
+    from proximalgalerkin_tpu.mesh.parametric import create_half_sphere
+    tm = create_half_sphere(res=0.16)
+    res = solve_signorini(tagged=tm, disp=-0.10, gap=0.02, verbose=False,
+                          max_iterations=20)
+    assert res.converged
+    assert res.penetrations[-1] < 5e-3
+    assert np.isclose(res.u[:, 2].min(), -0.1)
