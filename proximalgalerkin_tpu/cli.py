@@ -47,7 +47,10 @@ def _run_obstacle(args):
     out.mkdir(parents=True, exist_ok=True)
     ndofs = prob.V.num_scalar_dofs
     result.to_csv(out / f"example_polyorder{args.polynomial_order}_"
-                        f"{ndofs}.csv")
+                        f"{ndofs}.csv",
+                  extra={"Polynomial order": args.polynomial_order,
+                         "dofs": ndofs,
+                         "Step size rule": args.alpha_scheme})
     if args.polynomial_order == 1:
         from .io import write_vtu
         write_vtu(out / "u.vtu", mesh, point_data={"u": prob.u(result)})

@@ -89,15 +89,19 @@ class LVPPResult:
     def total_newton(self) -> int:
         return int(sum(self.newton_steps))
 
-    def to_csv(self, path) -> None:
+    def to_csv(self, path, extra: Optional[Mapping] = None) -> None:
         """Per-iteration record, mirroring the reference's pandas CSV of
-        observable columns (obstacle_pg.py:244-260)."""
+        observable columns (obstacle_pg.py:244-260). `extra` adds constant
+        columns (Polynomial order, dofs, Step size rule)."""
         path = Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
-        cols = {"Newton steps": self.newton_steps,
+        n = len(self.newton_steps)
+        cols = {**self.observables,
+                "Newton steps": self.newton_steps,
                 "Step sizes": self.step_sizes,
-                "Primal increments": self.increments,
-                **self.observables}
+                "Primal increments": self.increments}
+        for k, v in (extra or {}).items():
+            cols[k] = [v] * n
         with open(path, "w", newline="") as f:
             w = csv.writer(f)
             w.writerow(cols.keys())

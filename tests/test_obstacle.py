@@ -144,3 +144,29 @@ def _fd_lvpp(N):
             break
         u_prev = u.copy()
     return u.reshape(N, N)
+
+
+def test_disk_mesh_reference_protocol():
+    """The canonical run: unstructured disk, double-exponential alpha —
+    LVPP outer/Newton counts in the reference's observed range and the
+    CSV schema columns present (obstacle_pg.py:244-260)."""
+    from proximalgalerkin_tpu.mesh.unstructured import create_disk_mesh
+    mesh = create_disk_mesh(0.12)
+    prob, result = solve_obstacle_problem(
+        mesh, polynomial_order=1, alpha_scheme="double_exponential",
+        alpha_max=1e2, tol_exit=1e-6, verbose=False)
+    assert result.converged
+    assert 3 <= result.iterations <= 25
+    assert result.total_newton <= 100
+    import tempfile, pathlib, csv as _csv
+    with tempfile.TemporaryDirectory() as d:
+        f = pathlib.Path(d) / "out.csv"
+        result.to_csv(f, extra={"Polynomial order": 1,
+                                "dofs": prob.V.num_scalar_dofs,
+                                "Step size rule": "double_exponential"})
+        header = f.read_text().splitlines()[0]
+        for col in ("Energy", "Complementarity", "Feasibility",
+                    "Dual Feasibility", "Newton steps", "Step sizes",
+                    "Primal increments", "Latent increments",
+                    "Polynomial order", "dofs", "Step size rule"):
+            assert col in header, col
