@@ -128,6 +128,18 @@ class P1ObstacleSolver:
             form.local_indices.reshape(-1).astype(np.int64), N)
         self.M_L = jnp.asarray(ML, dtype)
 
+        # DIA fast path: when the stiffness pattern lives on few
+        # diagonals (structured meshes / banded orderings), SpMV becomes
+        # static shifts + FMAs — no TPU gathers (la/dia.py)
+        from ..la.dia import DiaMatrix
+        K = pattern.width
+        dia_rows = np.repeat(np.arange(N, dtype=np.int64), K)
+        dia_cols = np.asarray(pattern.ell_cols).reshape(-1)
+        self.dia = DiaMatrix.from_csr_arrays(
+            dia_rows, dia_cols, np.asarray(self.A_data).reshape(-1), N)
+        if self.dia is not None:
+            self.A_data = self.dia.data
+
         self.phi = jnp.asarray(obstacle(V.dof_points.T), dtype)
         mask = np.ones(N)
         mask[np.asarray(bdofs)] = 0.0
@@ -153,6 +165,20 @@ class P1ObstacleSolver:
                              diag_ones=self.ell.arrays["diag_ones"].astype(
                                  jnp.float32))
 
+        dia = self.dia
+        if dia is not None:
+            def _spmv(Ad, v, ea):
+                return dia.spmv(v, Ad)
+
+            def _diag(Ad, ea):
+                return dia.diagonal(Ad)
+        else:
+            def _spmv(Ad, v, ea):
+                return self.ell.spmv(Ad, v, ea)
+
+            def _diag(Ad, ea):
+                return self.ell.diagonal(Ad, ea)
+
         ell = self.ell
         interior = self.interior
         M_L = self.M_L
@@ -177,7 +203,7 @@ class P1ObstacleSolver:
         PSI_TOP = 50.0   # exp overflow guard; psi > ~1 never occurs at a sol
 
         def residual(u, psi, psi_k, alpha, A_data, ea):
-            g_u = interior * (alpha * ell.spmv(A_data, u, ea)
+            g_u = interior * (alpha * _spmv(A_data, u, ea)
                               + M_L * (psi - psi_k - alpha * fv))
             g_p = interior * M_L * (u - jnp.exp(psi) - phi)
             return g_u, g_p
@@ -193,7 +219,7 @@ class P1ObstacleSolver:
             # start at residuals near roundoff where a 1e-4 relative
             # reduction is unattainable in f64
             stop = jnp.maximum(newton_tol_ * norm0, newton_atol_)
-            diagA = ell.diagonal(A_data, ea)
+            diagA = _diag(A_data, ea)
 
             def cond(state):
                 it, u, psi, nrm, cg_total, best = state
@@ -216,12 +242,12 @@ class P1ObstacleSolver:
                 rhs = jnp.where(
                     free,
                     -g_u - (M_L / dsafe) * g_p
-                    - alpha * ell.spmv(A_data, du_a, ea), 0.0)
+                    - alpha * _spmv(A_data, du_a, ea), 0.0)
 
                 def S(v):
                     vf = jnp.where(free, v, 0.0)
                     return jnp.where(
-                        free, alpha * ell.spmv(A_data, vf, ea) + m2d * v, v)
+                        free, alpha * _spmv(A_data, vf, ea) + m2d * v, v)
 
                 diagS = jnp.where(free, alpha * diagA + m2d, 1.0)
                 if not mixed:
@@ -244,7 +270,7 @@ class P1ObstacleSolver:
                         vf = jnp.where(free, v, jnp.asarray(0.0, f32))
                         y = jnp.where(
                             free,
-                            alpha32 * ell.spmv(A32, vf, ea32) + m2d32 * v, v)
+                            alpha32 * _spmv(A32, vf, ea32) + m2d32 * v, v)
                         return y * sqinv32
 
                     def solve32(b64):
@@ -274,7 +300,7 @@ class P1ObstacleSolver:
                 # so no error amplification in the deep-contact limit.
                 dpsi = jnp.where(
                     interior > 0,
-                    -(g_u + alpha * ell.spmv(A_data, du, ea)) / M_L, 0.0)
+                    -(g_u + alpha * _spmv(A_data, du, ea)) / M_L, 0.0)
                 u = u + du
                 psi = jnp.minimum(psi + dpsi, PSI_TOP)
                 g_u, g_p = residual(u, psi, psi_k, alpha, A_data, ea)
