@@ -141,3 +141,29 @@ def p_refinement_sweep(kmin: int = 3, kmax: int = 8,
         result.newton_its.append(its)
         result.dofs.append(space.num_dofs)
     return result
+
+
+def h_refinement_sweep(levels: int = 3, degree: int = 4,
+                       verbose: bool = True) -> MongeAmpereResult:
+    """The Firedrake twin's protocol (monge_ampere_firedrake.py:9-114):
+    fixed degree, MeshHierarchy-style uniform refinements with prolonged
+    warm starts, reporting L2 errors and convergence orders."""
+    from ..mesh.unstructured import refine_uniform
+    mesh = rectangle_mesh(2, 2, p0=(-1.0, -1.0), p1=(1.0, 1.0))
+    result = MongeAmpereResult([], [], [], [])
+    warm = None
+    for lvl in range(levels):
+        space, x, its, err, _ = solve_monge_ampere_degree(
+            degree, mesh=mesh, warm_start=warm, verbose=verbose)
+        warm = (space, x)
+        result.degrees.append(lvl)
+        result.errors.append(err)
+        result.newton_its.append(its)
+        result.dofs.append(space.num_dofs)
+        if lvl < levels - 1:
+            mesh = refine_uniform(mesh)
+    if verbose:
+        e = np.array(result.errors)
+        orders = np.log2(e[:-1] / e[1:])
+        rank_print(f"Convergence orders: {orders}")
+    return result

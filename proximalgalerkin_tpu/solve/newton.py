@@ -170,6 +170,11 @@ class NewtonSolver:
         if reason == ConvergedReason.ITERATING:
             reason = ConvergedReason.DIVERGED_MAX_IT
 
+        if opts.opt("snes_converged_reason"):
+            rank_print(f"Nonlinear solve converged due to {reason.name} "
+                       f"iterations {it}" if reason.converged else
+                       f"Nonlinear solve did not converge due to "
+                       f"{reason.name} iterations {it}")
         if (not reason.converged) and opts.opt("snes_error_if_not_converged"):
             raise NotConvergedError(reason)
         return NewtonResult(x, reason, it, fnorm, history)
