@@ -153,7 +153,7 @@ def main():
         print(json.dumps({"lu_seconds": _cpu_saddle_lu_seconds(n)}))
         return
 
-    n = int(os.environ.get("PGTPU_BENCH_N", "707"))
+    n = int(os.environ.get("PGTPU_BENCH_N", "1024"))
     tol = float(os.environ.get("PGTPU_BENCH_TOL", "1e-8"))
     timeout = int(os.environ.get("PGTPU_BENCH_TIMEOUT", "1500"))
 

@@ -36,13 +36,12 @@ class DiaMatrix:
         """Build DIA from COO/CSR triplets; returns None if the pattern
         needs more than max_diags distinct diagonals (caller falls back
         to ELL)."""
-        offs = np.unique(cols.astype(np.int64) - rows.astype(np.int64))
+        deltas = cols.astype(np.int64) - rows.astype(np.int64)
+        offs = np.unique(deltas)
         if len(offs) > max_diags:
             return None
         data = np.zeros((len(offs), n))
-        off_index = {int(o): i for i, o in enumerate(offs)}
-        d_idx = np.array([off_index[int(o)] for o in
-                          (cols.astype(np.int64) - rows.astype(np.int64))])
+        d_idx = np.searchsorted(offs, deltas)
         data[d_idx, rows] = vals
         return cls(offsets=tuple(int(o) for o in offs),
                    data=jnp.asarray(data), n=int(n))

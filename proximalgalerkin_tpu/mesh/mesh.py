@@ -76,9 +76,20 @@ class Mesh:
         # all (cell, local_facet) vertex tuples
         fv = cv[:, local_facets]                      # (ncells, nlf, nfv)
         fv_flat = fv.reshape(-1, nfv)
-        key = np.sort(fv_flat, axis=1)
-        uniq, inv = np.unique(key, axis=0, return_inverse=True)
-        nfacets = uniq.shape[0]
+        key = np.sort(fv_flat, axis=1).astype(np.int64)
+        nv_total = int(cv.max()) + 2
+        if nfv <= 3 and nv_total ** nfv < 2**62:
+            # pack sorted vertex tuples into scalar int64 keys: 1D dedup
+            # (native sort) is ~10x faster than np.unique(axis=0)
+            from ..native import unique_with_inverse
+            packed = key[:, 0]
+            for j in range(1, nfv):
+                packed = packed * nv_total + key[:, j]
+            uniq_k, inv = unique_with_inverse(packed)
+            nfacets = len(uniq_k)
+        else:
+            uniq, inv = np.unique(key, axis=0, return_inverse=True)
+            nfacets = uniq.shape[0]
         facet_cells = -np.ones((nfacets, 2), dtype=np.int32)
         facet_local = -np.ones((nfacets, 2), dtype=np.int32)
         cell_ids = np.repeat(np.arange(self.num_cells), nlf)
@@ -130,8 +141,12 @@ class Mesh:
         cv = self.cell_vertices
         local_edges = np.array([list(e) for e in ref.edges], dtype=np.int64)
         ev = cv[:, local_edges]                       # (ncells, nle, 2)
-        key = np.sort(ev.reshape(-1, 2), axis=1)
-        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        key = np.sort(ev.reshape(-1, 2), axis=1).astype(np.int64)
+        nv_total = int(cv.max()) + 2
+        from ..native import unique_with_inverse
+        packed = key[:, 0] * nv_total + key[:, 1]
+        uniq_k, inv = unique_with_inverse(packed)
+        uniq = np.stack([uniq_k // nv_total, uniq_k % nv_total], axis=1)
         return uniq.astype(np.int32), inv.reshape(self.num_cells, -1).astype(np.int32)
 
     # ------------------------------------------------------------ query

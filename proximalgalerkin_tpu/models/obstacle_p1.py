@@ -101,21 +101,41 @@ class P1ObstacleSolver:
         self.N = N
         space = MixedSpace([("u", V)])
 
-        # Static P1 stiffness + lumped mass assembled on HOST in numpy (no
-        # device compiles at setup — each tiny-op compile costs tens of
-        # seconds through the TPU tunnel), shipped to HBM in one transfer.
-        form = VolumeForm(space, lambda x, u, gu, c, gc, k: {"u": (None, gu["u"])},
-                          quadrature_degree=2, dtype=dtype, host_arrays=True)
+        # Static P1 stiffness + lumped mass assembled on HOST (no device
+        # compiles at setup; one transfer to HBM). For affine triangles the
+        # element stiffness has the closed form |T| grad(lambda_i).
+        # grad(lambda_j) — no quadrature-loop arrays, minimal memory.
+        from ..native import scatter_add
         bdofs = V.boundary_dofs()
-        pattern = EllPattern.build(form.local_indices, N, bdofs)
+        dm = V.dofmap.astype(np.int64)                    # (e, 3)
+        pattern = EllPattern.build(dm, N, bdofs)
         self.ell = EllMatrix(pattern, dtype)
 
-        phi_t, dphi_t = V.element.tabulate(form.qpts)
-        from ..assembly.geometry import cell_geometry
-        geom = cell_geometry(mesh, form.qpts, form.qw)
-        from ..native import scatter_add
-        gphi = np.einsum("eqdt,qit->eqid", geom.G, dphi_t)
-        Ae = np.einsum("eqid,eqjd,eq->eij", gphi, gphi, geom.wdet)
+        if mesh.cell_type == "triangle" and mesh.geom_degree == 1:
+            pv = mesh.points[mesh.cell_vertices]          # (e, 3, 2)
+            e1 = pv[:, 1] - pv[:, 0]
+            e2 = pv[:, 2] - pv[:, 0]
+            det = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+            area = 0.5 * np.abs(det)
+            inv = 1.0 / det
+            # grad(lambda): rows of [[e2y, -e2x], [-e1y, e1x]]/det give
+            # grads of lambda_1, lambda_2; lambda_0 = -(l1 + l2)
+            g1 = np.stack([e2[:, 1] * inv, -e2[:, 0] * inv], axis=1)
+            g2 = np.stack([-e1[:, 1] * inv, e1[:, 0] * inv], axis=1)
+            g0 = -(g1 + g2)
+            G3 = np.stack([g0, g1, g2], axis=1)           # (e, 3, 2)
+            Ae = np.einsum("eid,ejd,e->eij", G3, G3, area)
+            Me = np.repeat(area[:, None] / 3.0, 3, axis=1)
+        else:
+            from ..assembly.geometry import cell_geometry
+            from ..elements.quadrature import cell_quadrature
+            qpts, qw = cell_quadrature(mesh.cell_type, 2)
+            geom = cell_geometry(mesh, qpts, qw)
+            phi_t, dphi_t = V.element.tabulate(qpts)
+            gphi = np.einsum("eqdt,qit->eqid", geom.G, dphi_t)
+            Ae = np.einsum("eqid,eqjd,eq->eij", gphi, gphi, geom.wdet)
+            Me = np.einsum("qi,eq->ei", phi_t, geom.wdet)
+
         csr = scatter_add(Ae.reshape(-1), pattern.slot_map,
                           pattern.nnz + 1)
         csr[:pattern.nnz] = (csr[:pattern.nnz] * pattern.keep
@@ -123,9 +143,8 @@ class P1ObstacleSolver:
         self.A_data = jnp.asarray(csr[pattern.ell_gather], dtype)
 
         # lumped mass vector: M_L[i] = ∫ phi_i dx
-        ML = scatter_add(
-            np.einsum("qi,eq->ei", phi_t, geom.wdet).reshape(-1),
-            form.local_indices.reshape(-1).astype(np.int64), N)
+        ML = scatter_add(Me.reshape(-1),
+                         dm.reshape(-1), N)
         self.M_L = jnp.asarray(ML, dtype)
 
         # DIA fast path: when the stiffness pattern lives on few

@@ -24,19 +24,19 @@ extern "C" {
 int64_t build_pattern(const int64_t* keys, int64_t n,
                       int64_t* uniq_out,     // size >= n
                       int64_t* slot_out) {   // size n
-    std::vector<int64_t> order(n);
-    for (int64_t i = 0; i < n; ++i) order[i] = i;
-    std::sort(order.begin(), order.end(),
-              [keys](int64_t a, int64_t b) { return keys[a] < keys[b]; });
+    // sort (key, index) pairs by value — cache-friendly, branch-predictable
+    std::vector<std::pair<int64_t, int64_t>> kv(n);
+    for (int64_t i = 0; i < n; ++i) kv[i] = {keys[i], i};
+    std::sort(kv.begin(), kv.end());
     int64_t nuniq = 0;
     int64_t prev = INT64_MIN;
     for (int64_t i = 0; i < n; ++i) {
-        const int64_t k = keys[order[i]];
+        const int64_t k = kv[i].first;
         if (k != prev) {
             uniq_out[nuniq++] = k;
             prev = k;
         }
-        slot_out[order[i]] = nuniq - 1;
+        slot_out[kv[i].second] = nuniq - 1;
     }
     return nuniq;
 }
