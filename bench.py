@@ -155,7 +155,7 @@ def main():
 
     n = int(os.environ.get("PGTPU_BENCH_N", "1024"))
     tol = float(os.environ.get("PGTPU_BENCH_TOL", "1e-8"))
-    timeout = int(os.environ.get("PGTPU_BENCH_TIMEOUT", "1500"))
+    timeout = int(os.environ.get("PGTPU_BENCH_TIMEOUT", "2800"))
 
     result = _run_subprocess("fem", n, tol, timeout)
     if result is None or not result.get("converged", False):

@@ -178,7 +178,9 @@ class P1ObstacleSolver:
         # worker instability under sustained load — the inner Krylov runs
         # in native f32 with f64 iterative refinement wrapped around it)
         if mixed_precision:
-            self.A32 = self.A_data.astype(jnp.float32)
+            # cast on DEVICE (jnp) rather than shipping a second host copy —
+            # host->HBM transfers through the tunnel are the setup bottleneck
+            self.A32 = jnp.asarray(self.A_data).astype(jnp.float32)
             self.ea32 = dict(self.ell.arrays,
                              keep=self.ell.arrays["keep"].astype(jnp.float32),
                              diag_ones=self.ell.arrays["diag_ones"].astype(
