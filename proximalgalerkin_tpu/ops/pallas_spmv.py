@@ -46,7 +46,10 @@ def dia_spmv_pallas(offsets: Sequence[int], data: jnp.ndarray,
     offsets = tuple(int(o) for o in offsets)
     n = x.shape[0]
     halo = max(max(abs(o) for o in offsets), 1)
-    block = min(block, max(1024, n))
+    # Mosaic requires 1D DMA slice shapes aligned to the 1024-element
+    # tiling; round the halo so block + 2*halo stays aligned
+    halo = ((halo + 511) // 512) * 512
+    block = min(block, max(1024, -(-n // 1024) * 1024))
     nblocks = -(-n // block)
     npad = nblocks * block
     xp = jnp.pad(x, (halo, npad - n + halo))
