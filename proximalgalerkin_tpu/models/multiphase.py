@@ -202,3 +202,11 @@ def solve_multiphase(
                             newton_iterations=newton_its,
                             lvpp_iterations=lvpp_its,
                             mass_history=masses)
+
+
+def save_npz(result: MultiphaseResult, path, **config):
+    """np.savez of iteration counts + run config (reference
+    multiphase_dolfinx.py:325-341)."""
+    np.savez(path, newton_iterations=result.newton_iterations,
+             lvpp_iterations=result.lvpp_iterations,
+             u=result.u, **config)

@@ -44,6 +44,7 @@ class SignoriniResult:
     newton_iterations: List[int]
     penetrations: List[float]
     converged: bool
+    von_mises: Optional[np.ndarray] = None   # per-cell (DG0) von Mises
 
 
 def solve_signorini(
@@ -170,6 +171,17 @@ def solve_signorini(
             break
         x_prev = x
 
+    # von Mises stress per cell (reference output, signorini_dolfinx.py:
+    # 296-302): s = sigma - tr(sigma)/3 I, vm = sqrt(3/2 s:s)
+    vals, grads = vol_form._eval_field("u", x[u_sl], vol_form.cell_data)
+    gu = np.asarray(grads).mean(axis=1)            # (e, gdim, gdim)
+    eps_c = 0.5 * (gu + np.swapaxes(gu, 1, 2))
+    tr = np.trace(eps_c, axis1=1, axis2=2)
+    eye = np.eye(gdim)
+    sig = 2 * mu * eps_c + lmbda * tr[:, None, None] * eye
+    dev = sig - np.trace(sig, axis1=1, axis2=2)[:, None, None] / 3.0 * eye
+    vm = np.sqrt(1.5 * np.einsum("eij,eij->e", dev, dev))
+
     n_scalar = Vu.num_scalar_dofs
     return SignoriniResult(
         u=np.asarray(x[u_sl]).reshape(n_scalar, gdim),
@@ -177,4 +189,5 @@ def solve_signorini(
         lvpp_iterations=it,
         newton_iterations=newton_its,
         penetrations=penetrations,
-        converged=converged)
+        converged=converged,
+        von_mises=vm)

@@ -42,7 +42,13 @@ def _dia_kernel(offsets: Tuple[int, ...], halo: int, block: int,
 def dia_spmv_pallas(offsets: Sequence[int], data: jnp.ndarray,
                     x: jnp.ndarray, block: int = 65536,
                     interpret: bool = False) -> jnp.ndarray:
-    """y = A x for a DIA matrix. data: (ndiag, N); x: (N,)."""
+    """y = A x for a DIA matrix. data: (ndiag, N); x: (N,).
+
+    Note: validated in interpret mode and kept as the Pallas reference
+    implementation; the axon remote Mosaic toolchain in this image rejects
+    1D-tiled dynamic slices inside the kernel, so production solves use
+    the XLA lowering in la/dia.py (identical math, already fused).
+    """
     offsets = tuple(int(o) for o in offsets)
     n = x.shape[0]
     halo = max(max(abs(o) for o in offsets), 1)
