@@ -39,8 +39,19 @@ REPO = Path(__file__).resolve().parent
 
 # --------------------------------------------------------------- workers
 
+def _enable_compile_cache():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          str(REPO / ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
 def _worker_fem(n: int, tol: float):
     sys.path.insert(0, str(REPO))
+    _enable_compile_cache()
     import jax.numpy as jnp
     from proximalgalerkin_tpu.mesh import rectangle_mesh
     from proximalgalerkin_tpu.models.obstacle_p1 import P1ObstacleSolver
@@ -78,6 +89,7 @@ def _worker_fem(n: int, tol: float):
 
 def _worker_fd(n: int, tol: float):
     sys.path.insert(0, str(REPO))
+    _enable_compile_cache()
     from proximalgalerkin_tpu.models.obstacle_fd import fd_obstacle_solve
 
     # warm-up at the same size (compile), then timed run
