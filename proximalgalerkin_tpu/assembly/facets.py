@@ -16,7 +16,7 @@ cell Jacobian and the reference outward normal.
 from __future__ import annotations
 
 from functools import cached_property
-from typing import Callable, Dict, Mapping, Optional
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

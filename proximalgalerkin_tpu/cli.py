@@ -11,7 +11,6 @@ where the reference defines them:
 from __future__ import annotations
 
 import argparse
-import sys
 from pathlib import Path
 
 

@@ -14,7 +14,7 @@ and edge/face orientation) in spaces/dofmap.py.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Tuple
 
 import numpy as np

@@ -13,7 +13,7 @@ of elements/cells.py.
 from __future__ import annotations
 
 from math import gamma as _gamma
-from typing import Callable, Tuple
+from typing import Tuple
 
 import numpy as np
 

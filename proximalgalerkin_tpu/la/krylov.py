@@ -9,8 +9,7 @@ saddle-point Jacobians — is implemented here as a lax.while_loop.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ quads, reference examples/09_eikonal/convert_mesh.cpp:15-56).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import cached_property
 from typing import Callable, Dict, Optional, Tuple
 

@@ -11,7 +11,7 @@ machinery).
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import numpy as np
 from scipy.spatial import Delaunay, cKDTree

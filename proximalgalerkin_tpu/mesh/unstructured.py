@@ -15,7 +15,7 @@ tags are assigned by nearest named boundary feature.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Sequence, Tuple
 
 import numpy as np
 from scipy.spatial import Delaunay, cKDTree

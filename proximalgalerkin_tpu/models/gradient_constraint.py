@@ -16,7 +16,7 @@ L2-increment stopping rule (:168-169,201).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, List, Mapping, Optional
+from typing import Callable, Mapping, Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -16,7 +16,6 @@ an (N, N) grid (VPU-only, no gathers, no sparse storage at all).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import List
 
 import jax

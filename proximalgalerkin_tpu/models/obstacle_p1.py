@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..assembly import VolumeForm
 from ..la.ell import EllMatrix, EllPattern
 from ..mesh.mesh import Mesh
 from ..spaces import FunctionSpace, MixedSpace

@@ -11,7 +11,7 @@ solvers instead of GALAHAD / IPOPT / PETSc.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax.numpy as jnp
 import numpy as np
@@ -19,8 +19,7 @@ import scipy.sparse as sp
 
 from ..assembly import VolumeForm
 from ..mesh.mesh import Mesh
-from ..solve.optimization import (OptimizationProblem, interior_point_solver,
-                                  trb_solver)
+from ..solve.optimization import interior_point_solver, trb_solver
 from ..spaces import FunctionSpace, MixedSpace
 from .obstacle import spherical_cap_obstacle
 

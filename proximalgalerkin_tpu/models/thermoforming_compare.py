@@ -14,7 +14,7 @@ obstacle solves (thermoforming_fixed_point.jl:128-146), and a semismooth
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional
+
 
 import jax.numpy as jnp
 import numpy as np

@@ -14,7 +14,6 @@ slow, give up after NFAIL_MAX failures. Commit-only-on-convergence semantics
 from __future__ import annotations
 
 import csv
-import json
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Callable, Dict, List, Mapping, Optional
@@ -24,7 +23,6 @@ import numpy as np
 
 from ..core.config import SolverOptions
 from ..core.logging import PhaseTimer, rank_print
-from ..core.reasons import ConvergedReason, NotConvergedError
 from .newton import NewtonResult, NewtonSolver
 from .nonlinear import NonlinearProblem
 
@@ -107,6 +105,23 @@ class LVPPResult:
             w.writerow(cols.keys())
             for row in zip(*cols.values()):
                 w.writerow(row)
+
+    def to_jsonl(self, path, extra: Optional[Mapping] = None) -> None:
+        """One JSON object per outer iteration (the structured-metrics
+        sink alongside the CSV)."""
+        import json as _json
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "w") as f:
+            for k in range(len(self.newton_steps)):
+                rec = {"iteration": k + 1,
+                       "newton_steps": self.newton_steps[k],
+                       "alpha": self.step_sizes[k],
+                       "primal_increment": self.increments[k],
+                       **{name: vals[k]
+                          for name, vals in self.observables.items()},
+                       **(extra or {})}
+                f.write(_json.dumps(rec) + "\n")
 
 
 class LVPPSolver:

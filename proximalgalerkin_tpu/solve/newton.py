@@ -15,7 +15,7 @@ or device Krylov (cg/minres/gmres with Jacobi preconditioning).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Callable, List, Optional
+from typing import List, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -23,7 +23,7 @@ import numpy as np
 from ..core.config import SolverOptions
 from ..core.logging import Monitor, PhaseTimer, rank_print
 from ..core.reasons import ConvergedReason, NotConvergedError
-from ..la import KRYLOV, LUFactorization
+from ..la import LUFactorization
 from .nonlinear import NonlinearProblem
 
 
