@@ -77,7 +77,10 @@ def _worker_fem(n: int, tol: float):
     print(f"# warmup {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
 
     t0 = time.time()
-    result = solver.solve(verbose=False)
+    if os.environ.get("PGTPU_BENCH_FUSED", "0") == "1":
+        result = solver.solve_fused()
+    else:
+        result = solver.solve(verbose=False)
     elapsed = time.time() - t0
     feas = float((result.u - np.asarray(solver.phi)).min())
     print(json.dumps({

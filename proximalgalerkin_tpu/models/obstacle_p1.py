@@ -344,7 +344,67 @@ class P1ObstacleSolver:
             inc = jnp.linalg.norm(u - u_prev)
             return u, psi, it, cg_total, inc
 
+        self._newton_fn = newton_kernel
         self._newton = jax.jit(newton_kernel)
+
+        outer_tol_ = self.outer_tol
+
+        def lvpp_kernel(u, psi, psi_k, u_prev, alphas, A_data, ea,
+                        A32, ea32):
+            """The ENTIRE LVPP solve as one XLA program: outer proximal
+            loop (precomputed alpha schedule) wrapping the fused Newton
+            while_loop — zero host round-trips until convergence."""
+
+            def cond(c):
+                k, u, psi, psi_k, u_prev, inc, tn, tcg = c
+                return jnp.logical_and(k < alphas.shape[0],
+                                       inc > outer_tol_)
+
+            def body(c):
+                k, u, psi, psi_k, u_prev, inc, tn, tcg = c
+                alpha = alphas[k]
+                u2, psi2, nits, cg, inc2 = newton_kernel(
+                    u, psi, psi_k, u_prev, alpha, A_data, ea, A32, ea32)
+                return (k + 1, u2, psi2, psi2, u2, inc2,
+                        tn + nits, tcg + cg)
+
+            big = jnp.asarray(jnp.inf, u.dtype)
+            k, u, psi, _, _, inc, tn, tcg = jax.lax.while_loop(
+                cond, body, (0, u, psi, psi_k, u_prev, big, 0, 0))
+            return u, psi, k, tn, tcg, inc
+
+        self._lvpp_fused = jax.jit(lvpp_kernel)
+
+    def alpha_schedule(self, max_outer: int = 100) -> np.ndarray:
+        """Precomputed FD-rule alpha sequence (host recurrence)."""
+        alphas = np.zeros(max_outer)
+        alpha, C, r, q = 1.0, 1.0, 1.5, 1.5
+        for k in range(max_outer):
+            try:
+                alpha = min(max(C * r ** (q**k) - alpha, C), self.alpha_cap)
+            except OverflowError:
+                alpha = self.alpha_cap
+            alphas[k] = alpha
+        return alphas
+
+    def solve_fused(self, max_outer: int = 100) -> P1ObstacleResult:
+        """One-kernel LVPP solve (totals only; use solve() for
+        per-iteration records)."""
+        N = self.N
+        ea = self.ell.arrays
+        alphas = jnp.asarray(self.alpha_schedule(max_outer), self.dtype)
+        u, psi, k, tn, tcg, inc = self._lvpp_fused(
+            jnp.zeros(N, self.dtype), jnp.ones(N, self.dtype),
+            jnp.zeros(N, self.dtype), jnp.zeros(N, self.dtype),
+            alphas, self.A_data, ea,
+            self.A32 if self.mixed_precision else self.A_data,
+            self.ea32 if self.mixed_precision else ea)
+        inc_f = float(inc)
+        return P1ObstacleResult(
+            u=np.asarray(u), psi=np.asarray(psi),
+            outer_iterations=int(k), newton_its=int(tn),
+            newton_per_outer=[], increments=[inc_f],
+            converged=inc_f < self.outer_tol)
 
     def solve(self, max_outer: int = 100, verbose: bool = False
               ) -> P1ObstacleResult:

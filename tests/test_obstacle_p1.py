@@ -52,3 +52,14 @@ def test_p1_unstructured_diagonals():
     res = s.solve()
     assert res.converged
     assert float((res.u - np.asarray(s.phi)).min()) > -1e-10
+
+
+def test_fused_solve_matches_loop():
+    mesh = rectangle_mesh(32, 32, p0=(-1.0, -1.0), p1=(1.0, 1.0))
+    s = P1ObstacleSolver(mesh, mixed_precision=True)
+    a = s.solve()
+    b = s.solve_fused()
+    assert b.converged and a.converged
+    assert b.outer_iterations == a.outer_iterations
+    assert b.newton_its == a.newton_its
+    assert np.abs(a.u - b.u).max() == 0.0
