@@ -66,7 +66,7 @@ def _worker_fem(n: int, tol: float):
 
     # warm-up compile at bench shapes
     t0 = time.time()
-    ea = solver.ell.arrays
+    ea = {} if solver.dia is not None else solver.ell.arrays
     u0 = jnp.zeros(solver.N)
     out = solver._newton(
         u0, jnp.ones(solver.N), u0, u0, jnp.asarray(1.0),

@@ -93,13 +93,23 @@ class EllMatrix:
     def __init__(self, pattern: EllPattern, dtype=jnp.float64):
         self.pattern = pattern
         self.dtype = dtype
-        self.arrays = {
-            "slot_map": jnp.asarray(pattern.slot_map),
-            "keep": jnp.asarray(pattern.keep, dtype),
-            "diag_ones": jnp.asarray(pattern.diag_ones, dtype),
-            "ell_gather": jnp.asarray(pattern.ell_gather),
-            "ell_cols": jnp.asarray(pattern.ell_cols),
-        }
+        self._arrays = None
+
+    @property
+    def arrays(self):
+        """Device index/mask arrays, transferred LAZILY on first use —
+        the DIA fast path never touches them, and they are hundreds of MB
+        at 1M+ dofs."""
+        if self._arrays is None:
+            pattern = self.pattern
+            self._arrays = {
+                "slot_map": jnp.asarray(pattern.slot_map),
+                "keep": jnp.asarray(pattern.keep, self.dtype),
+                "diag_ones": jnp.asarray(pattern.diag_ones, self.dtype),
+                "ell_gather": jnp.asarray(pattern.ell_gather),
+                "ell_cols": jnp.asarray(pattern.ell_cols),
+            }
+        return self._arrays
 
     def assemble(self, element_matrices: jnp.ndarray, arrays=None) -> jnp.ndarray:
         """(e, L, L) element matrices -> (N, K) ELL data with BCs applied

@@ -180,10 +180,14 @@ class P1ObstacleSolver:
             # cast on DEVICE (jnp) rather than shipping a second host copy —
             # host->HBM transfers through the tunnel are the setup bottleneck
             self.A32 = jnp.asarray(self.A_data).astype(jnp.float32)
-            self.ea32 = dict(self.ell.arrays,
-                             keep=self.ell.arrays["keep"].astype(jnp.float32),
-                             diag_ones=self.ell.arrays["diag_ones"].astype(
-                                 jnp.float32))
+            if self.dia is not None:
+                self.ea32 = {}     # DIA kernels never read the ELL arrays
+            else:
+                self.ea32 = dict(
+                    self.ell.arrays,
+                    keep=self.ell.arrays["keep"].astype(jnp.float32),
+                    diag_ones=self.ell.arrays["diag_ones"].astype(
+                        jnp.float32))
 
         dia = self.dia
         if dia is not None:
@@ -391,7 +395,7 @@ class P1ObstacleSolver:
         """One-kernel LVPP solve (totals only; use solve() for
         per-iteration records)."""
         N = self.N
-        ea = self.ell.arrays
+        ea = {} if self.dia is not None else self.ell.arrays
         alphas = jnp.asarray(self.alpha_schedule(max_outer), self.dtype)
         u, psi, k, tn, tcg, inc = self._lvpp_fused(
             jnp.zeros(N, self.dtype), jnp.ones(N, self.dtype),
@@ -413,7 +417,7 @@ class P1ObstacleSolver:
         psi = jnp.ones(N, self.dtype)
         psi_k = jnp.zeros(N, self.dtype)
         u_prev = jnp.zeros(N, self.dtype)
-        ea = self.ell.arrays
+        ea = {} if self.dia is not None else self.ell.arrays
 
         alpha, C, r, q = 1.0, 1.0, 1.5, 1.5
         per_outer: List[int] = []
