@@ -1,3 +1,3 @@
-from .vtu import write_vtu, read_vtu, PVDWriter, write_xdmf
+from .vtu import (write_vtu, read_vtu, PVDWriter, write_xdmf, read_xdmf)
 
-__all__ = ["write_vtu", "read_vtu", "PVDWriter", "write_xdmf"]
+__all__ = ["write_vtu", "read_vtu", "PVDWriter", "write_xdmf", "read_xdmf"]

@@ -138,6 +138,37 @@ def read_vtu(path) -> Tuple[Mesh, Dict[str, np.ndarray]]:
     return mesh, pdata
 
 
+def read_xdmf(path) -> Tuple[Mesh, Dict[str, np.ndarray]]:
+    """Read an inline-data XDMF file (the format write_xdmf emits — the
+    XDMFFile read path for the obstacle example's --file-path inputs)."""
+    root = ET.parse(Path(path)).getroot()
+    grid = root.find(".//Grid")
+    topo = grid.find("Topology")
+    geom = grid.find("Geometry")
+    tt = topo.get("TopologyType").lower()
+    ctype = {"triangle": "triangle", "quadrilateral": "quadrilateral",
+             "tetrahedron": "tetrahedron", "hexahedron": "hexahedron",
+             "polyline": "interval"}[tt]
+    cells = np.fromstring(topo.find("DataItem").text, sep=" ",
+                          dtype=np.int64)
+    nv = int(topo.find("DataItem").get("Dimensions").split()[-1])
+    cells = cells.reshape(-1, nv)
+    if ctype in _VTK_PERM:
+        inv = np.argsort(_VTK_PERM[ctype])
+        cells = cells[:, inv]
+    pts = np.fromstring(geom.find("DataItem").text, sep=" ")
+    gdim = 2 if geom.get("GeometryType") == "XY" else 3
+    pts = pts.reshape(-1, gdim)
+    data = {}
+    for attr in grid.findall("Attribute"):
+        v = np.fromstring(attr.find("DataItem").text, sep=" ")
+        dims = attr.find("DataItem").get("Dimensions").split()
+        if len(dims) > 1:
+            v = v.reshape(-1, int(dims[1]))
+        data[attr.get("Name")] = v
+    return Mesh(ctype, pts, cells.astype(np.int32)), data
+
+
 class PVDWriter:
     """Time-series collection of VTU files (the VTXWriter/XDMF time-series
     role, e.g. gradient_constraint_dolfinx.py:159-166)."""

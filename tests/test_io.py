@@ -45,3 +45,14 @@ def test_xdmf(tmp_path):
                    point_data={"u": np.zeros(16)})
     assert p.exists()
     assert "Triangle" in p.read_text()
+
+
+def test_xdmf_roundtrip(tmp_path):
+    from proximalgalerkin_tpu.io import read_xdmf
+    mesh = unit_square_mesh(3, 3)
+    u = np.linspace(0, 1, mesh.points.shape[0])
+    p = write_xdmf(tmp_path / "rt.xdmf", mesh, point_data={"u": u})
+    mesh2, data = read_xdmf(p)
+    assert mesh2.num_cells == mesh.num_cells
+    assert np.allclose(mesh2.points, mesh.points)
+    assert np.allclose(data["u"], u)
