@@ -77,6 +77,10 @@ def _worker_fem(n: int, tol: float):
     print(f"# warmup {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
 
     t0 = time.time()
+    # PGTPU_BENCH_FUSED=1 runs the single-program LVPP kernel
+    # (solve_fused). Default off: the axon TPU runtime in this image has
+    # faulted on single device executions lasting minutes; the per-outer
+    # loop (26 shorter executions at 1024^2) is stable and equally fast.
     if os.environ.get("PGTPU_BENCH_FUSED", "0") == "1":
         result = solver.solve_fused()
     else:

@@ -141,16 +141,15 @@ def create_half_disk(c_y: float = 0.5, R: float = 0.5, res: float = 0.04,
                                 ("contact", dist_arc)])
 
 
-def create_half_sphere(c_z: float = 0.5, R: float = 0.5, res: float = 0.1,
-                       quality: float = 4.0) -> TaggedMesh:
+def create_half_sphere(c_z: float = 0.5, R: float = 0.5,
+                       res: float = 0.1) -> TaggedMesh:
     """Lower half-ball in 3D: center (0, 0, c_z), radius R, flat top at
     z = c_z ('displacement'), spherical surface below ('contact') — the
     3D Signorini specimen (mesh_generation.py:86-168).
 
     Tet mesh via filtered 3D Delaunay of a boundary-sampled + BCC-lattice
-    point cloud; tets with radius-edge ratio above `quality` are kept only
-    if removing them would break conformity (slivers mostly sit at the
-    curved boundary and are harmless under a direct solve)."""
+    point cloud (slivers mostly sit at the curved boundary and are
+    harmless under a direct solve)."""
     from scipy.spatial import Delaunay as Delaunay3
 
     center = np.array([0.0, 0.0, c_z])
