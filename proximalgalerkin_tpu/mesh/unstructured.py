@@ -239,3 +239,43 @@ def refine_uniform(mesh: Mesh) -> Mesh:
     t4 = np.stack([m01, m12, m02], axis=1)
     cells = np.concatenate([t1, t2, t3, t4], axis=0)
     return Mesh("triangle", pts, cells)
+
+
+def make_quadratic(mesh: Mesh, snap_boundary=None) -> Mesh:
+    """Upgrade a P1 triangle mesh to quadratic (isoparametric) geometry:
+    one node per edge midpoint, optionally snapped to the true boundary by
+    `snap_boundary(points) -> points` (the order-2 gmsh disk of the
+    reference, generate_mesh_gmsh.py:12-43 with gmsh order 2)."""
+    assert mesh.cell_type == "triangle" and mesh.geom_degree == 1
+    edge_verts, cell_edges = mesh.edges
+    nold = mesh.points.shape[0]
+    mid = 0.5 * (mesh.points[edge_verts[:, 0]] + mesh.points[edge_verts[:, 1]])
+    if snap_boundary is not None:
+        # snap midpoints of boundary edges
+        bfacets = mesh.exterior_facets
+        bkey = set(map(tuple, np.sort(mesh.facet_vertices[bfacets], axis=1)
+                       .tolist()))
+        on_b = np.array([tuple(sorted(e)) in bkey for e in
+                         edge_verts.tolist()])
+        mid[on_b] = snap_boundary(mid[on_b])
+    pts = np.concatenate([mesh.points, mid], axis=0)
+    # P2 triangle node order: 3 vertices then edge interiors in the
+    # reference-cell edge order (1,2),(0,2),(0,1) — matches
+    # lagrange_element("triangle", 2).points
+    cells = np.concatenate([mesh.cell_vertices,
+                            nold + cell_edges], axis=1)
+    return Mesh("triangle", pts, cells, geom_degree=2)
+
+
+def create_disk_mesh_quadratic(res: float = 0.1, radius: float = 1.0,
+                               center=(0.0, 0.0)) -> Mesh:
+    """Order-2 disk: curved boundary cells (midpoints snapped to the
+    circle), the geometry the reference's obstacle runs use."""
+    c = np.asarray(center, float)
+    lin = create_disk_mesh(res, radius, center)
+
+    def snap(p):
+        v = p - c[None, :]
+        return c[None, :] + radius * v / np.linalg.norm(v, axis=1)[:, None]
+
+    return make_quadratic(lin, snap_boundary=snap)

@@ -167,3 +167,18 @@ def test_interpolation_and_functional():
     integral = form.make_functional(lambda x, u, gu, c, gc, k: u["u"])(
         jnp.asarray(z))
     assert np.isclose(float(integral), 1.0 / 3.0 + 0.5, atol=1e-12)
+
+
+def test_quadratic_geometry_disk():
+    """Isoparametric (order-2) geometry: curved-boundary disk area is
+    accurate to O(h^4) instead of O(h^2)."""
+    from proximalgalerkin_tpu.mesh.unstructured import (
+        create_disk_mesh, create_disk_mesh_quadratic)
+    form_area = lambda mesh: float(VolumeForm(
+        MixedSpace([("u", FunctionSpace.create(mesh, 1))]),
+        lambda x, u, gu, c, gc, k: {"u": (0.0, None)}, 4
+    ).make_functional(lambda x, u, gu, c, gc, k: 1.0)(
+        np.zeros(FunctionSpace.create(mesh, 1).num_dofs)))
+    err_lin = abs(form_area(create_disk_mesh(0.15)) - np.pi)
+    err_quad = abs(form_area(create_disk_mesh_quadratic(0.15)) - np.pi)
+    assert err_quad < err_lin / 100
