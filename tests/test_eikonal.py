@@ -33,3 +33,16 @@ def test_distance_function(solved):
     distance from edge to centerline = width/2 = 0.2."""
     assert abs(solved.u.max() - 0.2) < 0.02
     assert solved.u.min() > -1e-3
+
+
+def test_minres_matfree_matches_lu(solved):
+    """The device-resident iterative path (MINRES + |diag| Jacobi on the
+    matrix-free saddle Jacobian) reproduces the LU solution — parity with
+    the reference's MFEM ex40 MINRES solve (ex40.cpp:261-281)."""
+    res = solve_eikonal(ns=24, nt=4, verbose=False, solver_options={
+        "ksp_type": "minres", "pc_type": "jacobi", "mat_type": "matfree",
+        "ksp_rtol": 1e-9, "ksp_max_it": 4000,
+        "snes_rtol": 1e-8, "snes_max_it": 50})
+    assert res.converged
+    assert res.lvpp_iterations == solved.lvpp_iterations
+    assert np.abs(np.asarray(res.u) - np.asarray(solved.u)).max() < 1e-6
