@@ -44,6 +44,19 @@ class P1ObstacleResult:
     converged: bool
 
 
+# When the f32 inner CG reaches its noise floor just above the requested
+# relative tolerance it can cycle without progress for the rest of its
+# budget (observed: 40k-iteration burns at 1024^2 contact states, CG
+# riding maxiter = 40*sqrt(N)). Once the best residual is already within
+# _CG_STALL_GUARD of the stop threshold, exit after _CG_STALL_WINDOW
+# iterations without improvement and return the best iterate seen. The
+# guard keeps the exit disarmed during the legitimately slow early phase,
+# where the f32 residual can plateau for hundreds of iterations while
+# still converging.
+_CG_STALL_WINDOW = 128
+_CG_STALL_GUARD = 1e4
+
+
 def _cg(matvec, b, Minv, tol, maxiter):
     tiny = jnp.asarray(np.finfo(np.dtype(b.dtype)).tiny, b.dtype)
     x0 = jnp.zeros_like(b)
@@ -55,12 +68,15 @@ def _cg(matvec, b, Minv, tol, maxiter):
     stop = tol * tol * bnorm2
 
     def cond(state):
-        i, x, r, z, p, rz, ok = state
+        i, x, r, z, p, rz, ok, xb, rrb, ib = state
+        stalled = jnp.logical_and(i - ib > _CG_STALL_WINDOW,
+                                  rrb < _CG_STALL_GUARD * stop)
         return jnp.logical_and(
-            ok, jnp.logical_and(i < maxiter, jnp.vdot(r, r) > stop))
+            jnp.logical_and(ok, ~stalled),
+            jnp.logical_and(i < maxiter, jnp.vdot(r, r) > stop))
 
     def body(state):
-        i, x, r, z, p, rz, ok = state
+        i, x, r, z, p, rz, ok, xb, rrb, ib = state
         Ap = matvec(p)
         pAp = jnp.vdot(p, Ap)
         # breakdown detection: near the dtype's noise floor p'Ap can round
@@ -73,11 +89,16 @@ def _cg(matvec, b, Minv, tol, maxiter):
         z = Minv * r
         rz_new = jnp.vdot(r, z)
         p = z + jnp.where(good, rz_new / jnp.where(good, rz, 1.0), 0.0) * p
-        return i + 1, x, r, z, p, rz_new, good
+        rr = jnp.vdot(r, r)
+        better = rr < rrb
+        xb = jnp.where(better, x, xb)
+        rrb = jnp.where(better, rr, rrb)
+        ib = jnp.where(better, i + 1, ib)
+        return i + 1, x, r, z, p, rz_new, good, xb, rrb, ib
 
-    out = jax.lax.while_loop(cond, body,
-                             (0, x0, r, z, p, rz, jnp.asarray(True)))
-    return out[1], out[0]
+    out = jax.lax.while_loop(
+        cond, body, (0, x0, r, z, p, rz, jnp.asarray(True), x0, bnorm2, 0))
+    return out[7], out[0]
 
 
 class P1ObstacleSolver:
