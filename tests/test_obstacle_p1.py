@@ -54,6 +54,38 @@ def test_p1_unstructured_diagonals():
     assert float((res.u - np.asarray(s.phi)).min()) > -1e-10
 
 
+def test_cg_stall_guard():
+    """The inner CG must not ride its full iteration budget when the
+    requested tolerance sits below the dtype's noise floor: once the best
+    residual is within 1e4x of the stop threshold and stops improving,
+    it exits with the best iterate (observed 40k-iteration burns at
+    1024^2 contact states before the guard)."""
+    import jax.numpy as jnp
+    from proximalgalerkin_tpu.models.obstacle_p1 import _cg, _CG_STALL_WINDOW
+
+    rng = np.random.default_rng(5)
+    n = 400
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    lam = np.linspace(1.0, 1e4, n)
+    A64 = (Q * lam) @ Q.T
+    A = jnp.asarray(A64, jnp.float32)
+    b = jnp.asarray(rng.normal(size=n), jnp.float32)
+    # tol far below f32 noise floor at condition 1e4 -> unattainable
+    x, its = _cg(lambda v: A @ v, b, jnp.ones_like(b), 1e-12, 100_000)
+    assert int(its) < 10_000, int(its)   # guard fired, not maxiter
+    # and the returned iterate is still an accurate solve (f32-limited)
+    x_exact = np.linalg.solve(A64, np.asarray(b, np.float64))
+    rel = np.linalg.norm(np.asarray(x, np.float64) - x_exact) / \
+        np.linalg.norm(x_exact)
+    assert rel < 1e-4, rel
+
+    # a comfortably reachable tolerance still converges normally
+    x2, its2 = _cg(lambda v: A @ v, b, jnp.ones_like(b), 1e-3, 100_000)
+    r2 = np.asarray(b) - np.asarray(A) @ np.asarray(x2)
+    assert np.linalg.norm(r2) <= 1.1e-3 * np.linalg.norm(np.asarray(b))
+    assert int(its2) < int(its)   # converged before any stall exit
+
+
 def test_fused_solve_matches_loop():
     mesh = rectangle_mesh(32, 32, p0=(-1.0, -1.0), p1=(1.0, 1.0))
     s = P1ObstacleSolver(mesh, mixed_precision=True)
