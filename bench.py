@@ -148,10 +148,15 @@ def _cpu_saddle_lu_seconds(n: int) -> float:
     mesh = rectangle_mesh(n, n, p0=(-1.0, -1.0), p1=(1.0, 1.0))
     s = P1ObstacleSolver(mesh)
     N = s.N
+    # build from the host CSR values + true (non-padded) ELL slots —
+    # s.A_data may be DIA-layout (ndiags, N) after the fast-path
+    # substitution, which paired with ELL coordinates scrambles the matrix
     pat = s.ell.pattern
-    rows = np.repeat(np.arange(N), pat.width)
-    cols = np.asarray(pat.ell_cols).reshape(-1)
-    vals = np.asarray(s.A_data).reshape(-1)
+    eg = np.asarray(pat.ell_gather).reshape(-1)
+    keep = eg < pat.nnz
+    rows = np.repeat(np.arange(N), pat.width)[keep]
+    cols = np.asarray(pat.ell_cols).reshape(-1)[keep]
+    vals = s.A_csr_host[eg[keep]]
     A = sp.coo_matrix((vals, (rows, cols)), shape=(N, N)).tocsr()
     M = sp.diags(np.asarray(s.M_L))
     D = sp.diags(np.asarray(s.M_L) * np.exp(-1.0))

@@ -42,7 +42,10 @@ class DiaMatrix:
             return None
         data = np.zeros((len(offs), n))
         d_idx = np.searchsorted(offs, deltas)
-        data[d_idx, rows] = vals
+        # accumulate duplicates (COO semantics) — fancy-index assignment is
+        # last-write-wins and silently dropped repeated entries (e.g. ELL
+        # (row,row,0) padding zeroing the stored diagonal)
+        np.add.at(data, (d_idx, rows), vals)
         return cls(offsets=tuple(int(o) for o in offs),
                    data=jnp.asarray(data), n=int(n))
 

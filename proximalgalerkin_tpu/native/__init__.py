@@ -19,19 +19,29 @@ _SO = _DIR / "libpgtpu_native.so"
 _lib = None
 
 
+_failed = False
+
+
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib
+    global _lib, _failed
     if _lib is not None:
         return _lib
-    if not _SO.exists():
+    if _failed:
+        return None
+    src = _DIR / "pattern.cpp"
+    stale = (not _SO.exists()
+             or (src.exists() and src.stat().st_mtime > _SO.stat().st_mtime))
+    if stale:
         try:
-            subprocess.run(["make", "-C", str(_DIR)], capture_output=True,
-                           timeout=120, check=True)
+            subprocess.run(["make", "-B", "-C", str(_DIR)],
+                           capture_output=True, timeout=120, check=True)
         except Exception:
+            _failed = True
             return None
     try:
         lib = ctypes.CDLL(str(_SO))
     except OSError:
+        _failed = True
         return None
     lib.build_pattern.restype = ctypes.c_int64
     lib.build_pattern.argtypes = [
@@ -41,6 +51,23 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.scatter_add.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64, ctypes.POINTER(ctypes.c_double)]
+    # correctness smoke test against numpy — a wrong/foreign binary must
+    # route every caller to the numpy fallback, not corrupt setup data
+    try:
+        keys = np.array([5, 1, 5, 3, 1, 1], dtype=np.int64)
+        uniq = np.empty(len(keys), dtype=np.int64)
+        slot = np.empty(len(keys), dtype=np.int64)
+        nu = lib.build_pattern(keys.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int64)), len(keys),
+            uniq.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            slot.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        ref_u, ref_i = np.unique(keys, return_inverse=True)
+        if nu != len(ref_u) or not np.array_equal(uniq[:nu], ref_u) \
+                or not np.array_equal(slot, ref_i):
+            raise ValueError("build_pattern self-test mismatch")
+    except Exception:
+        _failed = True
+        return None
     _lib = lib
     return lib
 

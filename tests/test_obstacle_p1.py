@@ -54,6 +54,41 @@ def test_p1_unstructured_diagonals():
     assert float((res.u - np.asarray(s.phi)).min()) > -1e-10
 
 
+def test_dia_matches_ell_on_crossed_mesh():
+    """DIA and ELL storage are the same operator on crossed meshes.
+
+    Regression for the round-1 bug where DIA was built from padded ELL
+    triplets with last-write-wins assignment: the (row, row, 0.0) padding
+    zeroed the stored diagonal of every interior cell-center node, so the
+    solver silently converged to a wrong solution."""
+    import jax.numpy as jnp
+    mesh = rectangle_mesh(12, 12, p0=(-1.0, -1.0), p1=(1.0, 1.0),
+                          diagonal="crossed")
+    s_dia = P1ObstacleSolver(mesh)
+    s_ell = P1ObstacleSolver(mesh, use_dia=False)
+    assert s_dia.dia is not None and s_ell.dia is None
+
+    # operator equivalence: spmv agrees on random vectors
+    rng = np.random.default_rng(0)
+    N = s_dia.N
+    for _ in range(3):
+        x = jnp.asarray(rng.normal(size=N))
+        y_dia = np.asarray(s_dia.dia.spmv(x))
+        y_ell = np.asarray(s_ell.ell.spmv(s_ell.A_data, x))
+        np.testing.assert_allclose(y_dia, y_ell, rtol=1e-13, atol=1e-13)
+    # diagonal intact (the bug zeroed 144/144 cell-center diagonals)
+    d_dia = np.asarray(s_dia.dia.diagonal())
+    d_ell = np.asarray(s_ell.ell.diagonal(s_ell.A_data))
+    np.testing.assert_allclose(d_dia, d_ell, rtol=1e-13)
+    assert (d_dia != 0.0).all()
+
+    # and the two paths converge to the same solution
+    r_dia = s_dia.solve()
+    r_ell = s_ell.solve()
+    assert r_dia.converged and r_ell.converged
+    assert np.abs(r_dia.u - r_ell.u).max() < 1e-8
+
+
 def test_cg_stall_guard():
     """The inner CG must not ride its full iteration budget when the
     requested tolerance sits below the dtype's noise floor: once the best
