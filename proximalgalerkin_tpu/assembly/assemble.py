@@ -228,7 +228,7 @@ class VolumeForm:
 
     # ---------------------------------------------------------- residual
 
-    def _residual_core(self, x, coeffs, consts, data=None):
+    def _residual_core(self, x, coeffs, consts, data=None, out_size=None):
         data = self.cell_data if data is None else data
         x = jnp.asarray(x, self.dtype)
         vals, grads = {}, {}
@@ -241,7 +241,7 @@ class VolumeForm:
         t = jax.vmap(jax.vmap(pw))(data["xq"], vals, grads, cv, cg)
 
         wdet, G = data["wdet"], data["G"]
-        F = jnp.zeros(self.space.num_dofs, self.dtype)
+        F = jnp.zeros(out_size or self.space.num_dofs, self.dtype)
         for f in self.space.names:
             phi, dphi = self.tab[f]
             a0, a1 = t[f]                            # (e,q,m), (e,q,m,gdim)
@@ -264,11 +264,12 @@ class VolumeForm:
 
     # ------------------------------------------------- matrix-free Jacobian
 
-    def _jacobian_residual_core(self, x, coeffs, consts, data=None):
+    def _jacobian_residual_core(self, x, coeffs, consts, data=None,
+                                out_size=None):
         """Residual whose derivative defines the Jacobian (may differ from
         the true residual when jacobian_fn is set)."""
         if self.jacobian_fn is None:
-            return self._residual_core(x, coeffs, consts, data)
+            return self._residual_core(x, coeffs, consts, data, out_size)
         data = self.cell_data if data is None else data
         x = jnp.asarray(x, self.dtype)
         vals, grads = {}, {}
@@ -279,7 +280,7 @@ class VolumeForm:
             xq, sv, sg, cvq, cgq, consts, self.jacobian_fn)
         t = jax.vmap(jax.vmap(pw))(data["xq"], vals, grads, cv, cg)
         wdet, G = data["wdet"], data["G"]
-        F = jnp.zeros(self.space.num_dofs, self.dtype)
+        F = jnp.zeros(out_size or self.space.num_dofs, self.dtype)
         for f in self.space.names:
             phi, dphi = self.tab[f]
             a0, a1 = t[f]
@@ -384,7 +385,7 @@ class VolumeForm:
 
     # ------------------------------------------------------------ diagonal
 
-    def _diagonal_core(self, x, coeffs, consts, data=None):
+    def _diagonal_core(self, x, coeffs, consts, data=None, out_size=None):
         """Jacobian diagonal without materializing element matrices —
         O(ncells * nq * m^2 * d^2) memory, the Jacobi-preconditioner path
         for large (1M-DoF) systems."""
@@ -403,7 +404,7 @@ class VolumeForm:
 
         K = jax.vmap(jax.vmap(pw_jac))(data["xq"], vals, grads, cv, cg)
         G, w = data["G"], data["wdet"]
-        out = jnp.zeros(self.space.num_dofs, self.dtype)
+        out = jnp.zeros(out_size or self.space.num_dofs, self.dtype)
         for f in self.space.names:
             phi, dphi = self.tab[f]
             gphi = jnp.einsum("eqdt,qit->eqid", G, dphi)

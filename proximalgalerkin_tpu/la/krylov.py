@@ -37,9 +37,11 @@ def bicgstab(A: Callable, b, x0=None, *, tol=1e-10, atol=0.0, maxiter=10_000,
     return x
 
 
-def _minres_impl(A, b, x0, rtol, atol, maxiter, Minv_diag):
+def _minres_impl(A, b, x0, rtol, atol, maxiter, Minv_diag, Minv=None):
     """Preconditioned MINRES (Paige & Saunders) with a diagonal (Jacobi)
-    preconditioner given as a vector of inverse diagonal entries (or ones).
+    preconditioner given as a vector of inverse diagonal entries (or ones),
+    or a general SPD preconditioner callable Minv (takes precedence) —
+    e.g. the block-Schur preconditioner of la/schur.py.
 
     Solves A x = b for symmetric (possibly indefinite) A — the LVPP
     saddle-point Newton systems. Preconditioner must be SPD.
@@ -47,7 +49,7 @@ def _minres_impl(A, b, x0, rtol, atol, maxiter, Minv_diag):
     dtype = b.dtype
 
     def precond(v):
-        return Minv_diag * v
+        return Minv(v) if Minv is not None else Minv_diag * v
 
     x = x0
     r1 = b - A(x)
@@ -123,8 +125,9 @@ def _minres_impl(A, b, x0, rtol, atol, maxiter, Minv_diag):
 
 
 def minres(A: Callable, b, x0=None, *, tol=1e-10, atol=0.0, maxiter=10_000,
-           Minv_diag=None):
-    """MINRES with optional inverse-diagonal (Jacobi) preconditioning.
+           Minv_diag=None, Minv=None):
+    """MINRES with optional inverse-diagonal (Jacobi) or general SPD
+    (callable `Minv`) preconditioning.
 
     Pure function of traced values — usable inside an enclosing jit (the
     NewtonSolver compiles one fused Newton-direction kernel per option set).
@@ -135,8 +138,21 @@ def minres(A: Callable, b, x0=None, *, tol=1e-10, atol=0.0, maxiter=10_000,
         Minv_diag = jnp.ones_like(b)
     x, rnorm, its = _minres_impl(A, b, x0, jnp.asarray(tol, b.dtype),
                                  jnp.asarray(atol, b.dtype), maxiter,
-                                 Minv_diag)
+                                 Minv_diag, Minv)
     return x
+
+
+def minres_info(A: Callable, b, x0=None, *, tol=1e-10, atol=0.0,
+                maxiter=10_000, Minv_diag=None, Minv=None):
+    """minres that also returns (residual norm, iteration count) — for
+    preconditioner studies and monitors."""
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if Minv_diag is None:
+        Minv_diag = jnp.ones_like(b)
+    return _minres_impl(A, b, x0, jnp.asarray(tol, b.dtype),
+                        jnp.asarray(atol, b.dtype), maxiter,
+                        Minv_diag, Minv)
 
 
 KRYLOV = {"cg": cg, "gmres": gmres, "bicgstab": bicgstab, "minres": minres}

@@ -62,7 +62,8 @@ class NewtonSolver:
                 dx = LUFactorization(A).solve(np.asarray(-F))
             return jnp.asarray(dx, F.dtype)
         step = self.problem.direction_solver(
-            ksp, pc, str(opts.opt("mat_type", "ell")))
+            ksp, pc, str(opts.opt("mat_type", "ell")),
+            schur_field0=opts.opt("pc_schur_field0", None))
         with self.timer.phase("linear_solve_krylov"):
             dx = step(x, F, self.problem.coeffs, self.problem.consts,
                       float(opts.opt("ksp_rtol")), float(opts.opt("ksp_atol")),
@@ -73,45 +74,159 @@ class NewtonSolver:
     # -------------------------------------------------------- linesearch
 
     def _linesearch(self, x, dx, fnorm):
-        """Returns new x (or None if the linesearch failed)."""
+        """Returns new x (or None if the linesearch failed).
+
+        PETSc-faithful implementations of the linesearch types the
+        reference configures (obstacle_pg.py:136 'none',
+        fracture_dolfinx.py:163-180 l2/bt semantics):
+          l2: secant/Newton minimization of ||F(x+t dx)||^2 from a
+              quadratic fit through t=0, t/2, t (linesearchl2.c 3-point
+              one-sided difference formulas), snes_linesearch_max_it
+              fits (PETSc default 1); accepts the minimizer.
+          bt: Armijo on g(t)=0.5||F||^2 with quadratic first backtrack
+              and cubic continuation (linesearchbt.c), initslope from an
+              actual Jacobian action <J dx, F>.
+        """
         ls = self.options.opt("snes_linesearch_type")
         damping = float(self.options.opt("snes_linesearch_damping"))
         prob = self.problem
+
+        def fsq(t):
+            r = prob.residual(x + t * dx)
+            v = float(jnp.vdot(r, r))
+            return v if np.isfinite(v) else np.inf
+
         if ls == "none":
             return x + damping * dx
         if ls == "l2":
-            # sample ||F|| on a small grid of step lengths, keep the best
-            ts = np.array([1.0, 0.5, 0.25, 0.125, 0.0625]) * damping
-            best_x, best_f = None, np.inf
-            for t in ts:
-                xt = x + t * dx
-                fn = float(jnp.linalg.norm(prob.residual(xt)))
-                if np.isfinite(fn) and fn < best_f:
-                    best_x, best_f = xt, fn
-                if fn < fnorm:  # early accept on first improvement
-                    break
-            if best_x is None or best_f >= fnorm * (1.0 + 1e-12):
-                # accept full step anyway (PETSc l2 accepts the minimizer)
-                return best_x if best_x is not None else None
-            return best_x
+            max_it = int(self.options.opt("snes_linesearch_max_it", 1))
+            lam, lam_old = damping, 0.0
+            fnrm_old = fnorm * fnorm
+            fnrm = None
+            for _ in range(max_it):
+                dlam = lam - lam_old
+                fnrm_mid = fsq(lam_old + 0.5 * dlam)
+                fnrm = fsq(lam)
+                # one-sided 3-point formulas at t=lam (h = dlam/2)
+                dF = (3.0 * fnrm - 4.0 * fnrm_mid + fnrm_old) / dlam
+                d2F = 4.0 * (fnrm - 2.0 * fnrm_mid + fnrm_old) / dlam**2
+                if not (np.isfinite(dF) and np.isfinite(d2F)) or d2F == 0.0:
+                    lam_t = 0.5 * lam
+                else:
+                    lam_t = lam - dF / d2F
+                lam_old, fnrm_old = lam, fnrm
+                if lam_t <= 0.0 or not np.isfinite(lam_t):
+                    lam_t = 0.5 * lam
+                lam = lam_t
+            xt = x + lam * dx
+            fn = fsq(lam)
+            if not np.isfinite(fn):
+                return None
+            return xt
         if ls == "bt":
-            # Armijo backtracking on 0.5||F||^2
-            alpha = 1e-4
-            t = damping
-            for _ in range(12):
-                xt = x + t * dx
-                fn = float(jnp.linalg.norm(prob.residual(xt)))
-                if np.isfinite(fn) and fn <= (1 - alpha * t) * fnorm:
-                    return xt
-                t *= 0.5
+            alpha = float(self.options.opt("snes_linesearch_alpha", 1e-4))
+            max_its = int(self.options.opt("snes_linesearch_max_it", 40))
+            g0 = 0.5 * fnorm * fnorm
+            # initslope = <J dx, F> (linesearchbt.c computes the true
+            # directional derivative; = -||F||^2 only for exact solves)
+            Jdx = self.problem.jacobian_action(x)(dx)
+            initslope = float(jnp.vdot(Jdx, prob.residual(x)))
+            if not np.isfinite(initslope) or initslope >= 0.0:
+                initslope = -fnorm * fnorm
+            lam = damping
+            g_lam = 0.5 * fsq(lam)
+            if g_lam <= g0 + alpha * lam * initslope:
+                return x + lam * dx
+            # quadratic first backtrack
+            lam_prev, g_prev = lam, g_lam
+            denom = 2.0 * (g_lam - g0 - lam * initslope)
+            lam_t = -initslope * lam**2 / denom if denom != 0.0 else 0.5 * lam
+            lam = min(max(lam_t, 0.1 * lam), 0.5 * lam)
+            minlambda = damping * 1e-12
+            for _ in range(max_its):
+                if lam < minlambda:
+                    return None
+                g_lam = 0.5 * fsq(lam)
+                if g_lam <= g0 + alpha * lam * initslope:
+                    return x + lam * dx
+                # cubic interpolation through (lam, g_lam), (lam_prev, g_prev)
+                t1 = g_lam - g0 - lam * initslope
+                t2 = g_prev - g0 - lam_prev * initslope
+                dl = lam - lam_prev
+                if dl == 0.0:
+                    lam_t = 0.5 * lam
+                else:
+                    a = (t1 / lam**2 - t2 / lam_prev**2) / dl
+                    bq = (-lam_prev * t1 / lam**2
+                          + lam * t2 / lam_prev**2) / dl
+                    if a == 0.0:
+                        lam_t = -initslope / (2.0 * bq) if bq != 0.0 \
+                            else 0.5 * lam
+                    else:
+                        disc = bq * bq - 3.0 * a * initslope
+                        if disc < 0.0:
+                            lam_t = 0.5 * lam
+                        elif bq <= 0.0:
+                            lam_t = (-bq + np.sqrt(disc)) / (3.0 * a)
+                        else:
+                            lam_t = -initslope / (bq + np.sqrt(disc))
+                lam_prev, g_prev = lam, g_lam
+                lam = min(max(lam_t, 0.1 * lam), 0.5 * lam)
             return None
         raise ValueError(f"unknown linesearch {ls!r}")
 
     # ------------------------------------------------------------- solve
 
+    def _solve_fused(self, x0) -> NewtonResult:
+        """Whole-solve fused path: one XLA program per Newton solve (no
+        per-iteration host sync) via NonlinearProblem.fused_newton; the
+        SNES reason is reconstructed from a single readback."""
+        opts = self.options
+        prob = self.problem
+        fused = prob.fused_newton(
+            opts.opt("ksp_type"), opts.opt("pc_type"),
+            str(opts.opt("mat_type", "ell")),
+            linesearch=opts.opt("snes_linesearch_type"),
+            max_it=int(opts.opt("snes_max_it")),
+            ksp_max_it=int(opts.opt("ksp_max_it")),
+            schur_field0=opts.opt("pc_schur_field0", None))
+        with self.timer.phase("newton_fused"):
+            x, it, fn, f0, ls_ok = fused(
+                x0, prob.coeffs, prob.consts,
+                rtol=float(opts.opt("snes_rtol")),
+                atol=float(opts.opt("snes_atol")),
+                stol=float(opts.opt("snes_stol")),
+                ksp_rtol=float(opts.opt("ksp_rtol")),
+                ksp_atol=float(opts.opt("ksp_atol")),
+                damping=float(opts.opt("snes_linesearch_damping")))
+            x.block_until_ready()
+        it = int(it)
+        fn = float(fn)
+        f0 = float(f0)
+        if not bool(ls_ok):
+            reason = ConvergedReason.DIVERGED_LINE_SEARCH
+        elif not np.isfinite(fn):
+            reason = ConvergedReason.DIVERGED_FNORM_NAN
+        elif fn < float(opts.opt("snes_atol")):
+            reason = ConvergedReason.CONVERGED_FNORM_ABS
+        elif fn <= float(opts.opt("snes_rtol")) * f0:
+            reason = ConvergedReason.CONVERGED_FNORM_RELATIVE
+        else:
+            reason = ConvergedReason.DIVERGED_MAX_IT
+        if opts.opt("snes_converged_reason"):
+            rank_print(f"Nonlinear solve converged due to {reason.name} "
+                       f"iterations {it}" if reason.converged else
+                       f"Nonlinear solve did not converge due to "
+                       f"{reason.name} iterations {it}")
+        if (not reason.converged) and opts.opt("snes_error_if_not_converged"):
+            raise NotConvergedError(reason)
+        return NewtonResult(x, reason, it, fn, [f0, fn])
+
     def solve(self, x0) -> NewtonResult:
         opts = self.options
         prob = self.problem
+        if opts.opt("snes_fused"):
+            return self._solve_fused(x0)
         rtol = float(opts.opt("snes_rtol"))
         atol = float(opts.opt("snes_atol"))
         stol = float(opts.opt("snes_stol"))

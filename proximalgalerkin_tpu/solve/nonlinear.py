@@ -84,21 +84,56 @@ class NonlinearProblem:
             self._ell = EllMatrix(pattern, self.form.dtype)
         return self._ell
 
-    def direction_solver(self, ksp: str, pc: str, mat_type: str = "ell"):
+    def direction_solver(self, ksp: str, pc: str, mat_type: str = "ell",
+                         schur_field0: Optional[str] = None):
         """One fused, jitted Newton-direction kernel per option set:
         (x, F, coeffs, consts, rtol, atol, maxiter) -> dx solving
         J(x) dx = -F entirely on device. mat_type 'ell' assembles the
         Jacobian once into an ELL matrix (cheap SpMV per Krylov iteration);
         'matfree' re-applies the jvp of the residual each iteration.
+        pc='schur' (requires 'ell' + 'minres') applies the block-Schur
+        preconditioner of la/schur.py with block0 = `schur_field0` (the
+        invertible-diagonal block; ex40.cpp:261-281 recipe).
         Compiled once per shape set — no per-step retracing."""
-        key = (ksp, pc, mat_type)
+        key = (ksp, pc, mat_type, schur_field0)
         if key in self._direction_cache:
             return self._direction_cache[key]
 
+        direction = self._make_direction_fn(ksp, pc, mat_type, schur_field0)
+        ell = self.ell_matrix if mat_type == "ell" else None
+
+        jitted = jax.jit(direction, static_argnames=("maxiter",))
+
+        def fn(x, F, coeffs, consts, rtol, atol, maxiter):
+            return jitted(x, F, coeffs, consts, rtol, atol, maxiter,
+                          self.form.cell_data,
+                          ell.arrays if ell is not None else {})
+
+        self._direction_cache[key] = fn
+        return fn
+
+    def _make_direction_fn(self, ksp: str, pc: str, mat_type: str = "ell",
+                           schur_field0: Optional[str] = None):
+        """Pure direction-solve body shared by direction_solver and the
+        fused Newton kernel: (x, F, coeffs, consts, rtol, atol, maxiter,
+        cell_data, ell_arrays) -> dx with J(x) dx = -F."""
         from ..la import krylov as kry
         form = self.form
         bc_idx, bc_vals = self.bc_idx, self.bc_vals
         ell = self.ell_matrix if mat_type == "ell" else None
+
+        m0_np = bc1_np = None
+        if pc == "schur":
+            if mat_type != "ell" or ksp != "minres":
+                raise ValueError("pc='schur' requires mat_type='ell' and "
+                                 "ksp='minres'")
+            f0 = schur_field0 or self.space.names[0]
+            sl = self.space.slice_of(f0)
+            m0_np = np.zeros(self.space.num_dofs)
+            m0_np[sl] = 1.0
+            bc1_np = np.zeros(self.space.num_dofs)
+            bci = np.asarray(self.bc_idx)
+            bc1_np[bci] = 1.0 - m0_np[bci]
 
         def direction(x, F, coeffs, consts, rtol, atol, maxiter, cell_data,
                       ell_arrays):
@@ -118,6 +153,13 @@ class NonlinearProblem:
                     return y.at[bc_idx].add(v[bc_idx])
 
             b = -F
+            if pc == "schur":
+                from ..la.schur import make_schur_pc
+                Minv = make_schur_pc(ell, data, ell_arrays,
+                                     jnp.asarray(m0_np, form.dtype),
+                                     jnp.asarray(bc1_np, form.dtype))
+                return kry.minres(Av, b, tol=rtol, atol=atol,
+                                  maxiter=maxiter, Minv=Minv)
             if pc == "jacobi":
                 if mat_type == "ell":
                     d = ell.diagonal(data, ell_arrays)
@@ -145,10 +187,120 @@ class NonlinearProblem:
                 raise ValueError(f"unknown ksp_type {ksp!r}")
             return xs
 
-        jitted = jax.jit(direction, static_argnames=("maxiter",))
+        return direction
 
-        def fn(x, F, coeffs, consts, rtol, atol, maxiter):
-            return jitted(x, F, coeffs, consts, rtol, atol, maxiter,
+    def fused_newton(self, ksp: str, pc: str, mat_type: str = "ell",
+                     linesearch: str = "none", max_it: int = 100,
+                     ksp_max_it: int = 10_000, schur_field0=None):
+        """Whole-solve fused Newton: the complete while_loop (residual ->
+        Krylov direction -> linesearch -> update) compiled as ONE XLA
+        program — one kernel launch per Newton *solve*, no per-iteration
+        host sync (the float(norm) readbacks of the host driver,
+        solve/newton.py). SNES semantics preserved: the returned
+        (it, fnorm, f0, ls_ok) suffice to reconstruct the converged
+        reason on host.
+
+        linesearch: 'none' (damped), 'l2' (one secant/quadratic fit, the
+        jittable twin of NewtonSolver's l2), or 'bt' (Armijo on
+        0.5||F||^2 with halving backtracks, fixed budget).
+
+        Returns fn(x0, coeffs, consts, rtol, atol, stol, ksp_rtol,
+        ksp_atol, damping) -> (x, it, fnorm, f0, ls_ok).
+        """
+        key = ("fused", ksp, pc, mat_type, linesearch, max_it, ksp_max_it,
+               schur_field0)
+        if key in self._direction_cache:
+            return self._direction_cache[key]
+
+        form = self.form
+        bc_idx, bc_vals = self.bc_idx, self.bc_vals
+        ell = self.ell_matrix if mat_type == "ell" else None
+        direction = self._make_direction_fn(ksp, pc, mat_type, schur_field0)
+
+        def solve(x0, coeffs, consts, rtol, atol, stol, ksp_rtol, ksp_atol,
+                  damping, cell_data, ell_arrays):
+            def residual(z):
+                F = form._residual_core(z, coeffs, consts, cell_data)
+                return F.at[bc_idx].set(z[bc_idx] - bc_vals)
+
+            def fsq(z):
+                F = residual(z)
+                return jnp.vdot(F, F)
+
+            def do_linesearch(x, dx, fnorm):
+                """-> (x_new, ok)."""
+                if linesearch == "none":
+                    return x + damping * dx, jnp.array(True)
+                if linesearch == "l2":
+                    lam = damping
+                    f_old = fnorm * fnorm
+                    f_mid = fsq(x + 0.5 * lam * dx)
+                    f_new = fsq(x + lam * dx)
+                    dF = (3.0 * f_new - 4.0 * f_mid + f_old) / lam
+                    d2F = 4.0 * (f_new - 2.0 * f_mid + f_old) / lam**2
+                    lam_t = jnp.where(jnp.abs(d2F) > 1e-300,
+                                      lam - dF / d2F, 0.5 * lam)
+                    lam_t = jnp.where(
+                        jnp.logical_and(jnp.isfinite(lam_t), lam_t > 0.0),
+                        lam_t, 0.5 * lam)
+                    xn = x + lam_t * dx
+                    return xn, jnp.isfinite(fsq(xn))
+                if linesearch == "bt":
+                    alpha = 1e-4
+                    g0 = 0.5 * fnorm * fnorm
+                    # halving backtracks with Armijo on 0.5||F||^2 and
+                    # slope -||F||^2 (exact-solve approximation)
+                    def cond(s):
+                        i, lam, ok = s
+                        return jnp.logical_and(i < 16, jnp.logical_not(ok))
+
+                    def body(s):
+                        i, lam, ok = s
+                        g = 0.5 * fsq(x + lam * dx)
+                        ok = jnp.logical_and(
+                            jnp.isfinite(g),
+                            g <= g0 - 2.0 * alpha * lam * g0)
+                        lam = jnp.where(ok, lam, 0.5 * lam)
+                        return i + 1, lam, ok
+
+                    _, lam, ok = jax.lax.while_loop(
+                        cond, body, (0, damping, jnp.array(False)))
+                    return x + lam * dx, ok
+                raise ValueError(f"unknown fused linesearch {linesearch!r}")
+
+            x = x0.at[bc_idx].set(bc_vals)
+            F = residual(x)
+            f0 = jnp.linalg.norm(F)
+
+            def cond(s):
+                it, x, F, fn, ls_ok = s
+                live = jnp.logical_and(fn > jnp.maximum(rtol * f0, atol),
+                                       jnp.isfinite(fn))
+                return jnp.logical_and(jnp.logical_and(it < max_it, live),
+                                       ls_ok)
+
+            def body(s):
+                it, x, F, fn, _ = s
+                dx = direction(x, F, coeffs, consts, ksp_rtol, ksp_atol,
+                               ksp_max_it, cell_data, ell_arrays)
+                x, ls_ok = do_linesearch(x, dx, fn)
+                F = residual(x)
+                return it + 1, x, F, jnp.linalg.norm(F), ls_ok
+
+            it, x, F, fn, ls_ok = jax.lax.while_loop(
+                cond, body, (0, x, F, f0, jnp.array(True)))
+            return x, it, fn, f0, ls_ok
+
+        jitted = jax.jit(solve)
+
+        def fn(x0, coeffs=None, consts=None, rtol=1e-8, atol=1e-50,
+               stol=0.0, ksp_rtol=1e-10, ksp_atol=0.0, damping=1.0):
+            return jitted(jnp.asarray(x0, form.dtype),
+                          dict(coeffs if coeffs is not None else self.coeffs),
+                          dict(consts if consts is not None else self.consts),
+                          jnp.asarray(rtol), jnp.asarray(atol),
+                          jnp.asarray(stol), jnp.asarray(ksp_rtol),
+                          jnp.asarray(ksp_atol), jnp.asarray(damping),
                           form.cell_data,
                           ell.arrays if ell is not None else {})
 
