@@ -222,6 +222,13 @@ def main():
           f"newton={newton} outer={result['outer']} "
           f"feas={result['feasibility']:.2e} elapsed={elapsed:.2f}s "
           f"baseline={baseline_total:.1f}s", file=sys.stderr)
+    # environment identity for perf attribution (ENVIRONMENT.lock role)
+    try:
+        import jax
+        env = f"jax {jax.__version__}"
+    except Exception:
+        env = "jax unknown"
+    print(f"# env: {env}, python {sys.version.split()[0]}", file=sys.stderr)
     print(json.dumps({
         "metric": f"obstacle_lvpp_{result['dofs']}dof_wallclock",
         "value": round(elapsed, 3),

@@ -96,7 +96,12 @@ def fd_obstacle_solve(N: int, max_outer: int = 100, newton_tol: float = 1e-4,
         def residual(u, psi):
             g_u = alpha * _laplacian_dirichlet(u, h2inv) + jnp.where(
                 interior, psi - psi_k, 0.0)
-            g_p = jnp.where(interior, u - jnp.exp(psi) - phi_j, 0.0)
+            # overflow-safe exp: a Newton overshoot at large alpha can push
+            # psi past 709 transiently; exp(inf) would poison the whole
+            # solve with NaN, while a huge-but-finite residual lets the
+            # next Newton step pull psi back (physical psi is <= ~0 here)
+            g_p = jnp.where(interior,
+                            u - jnp.exp(jnp.minimum(psi, 500.0)) - phi_j, 0.0)
             return g_u, g_p
 
         g_u0, g_p0 = residual(u, psi)
@@ -109,7 +114,7 @@ def fd_obstacle_solve(N: int, max_outer: int = 100, newton_tol: float = 1e-4,
         def body(state):
             it, u, psi, _ = state
             g_u, g_p = residual(u, psi)
-            d = jnp.exp(psi)                       # latent diagonal
+            d = jnp.exp(jnp.minimum(psi, 500.0))   # latent diagonal
             # Deep-contact limit split (see obstacle_p1.py): where exp(psi)
             # has underflowed relative to the elliptic row scale, take the
             # exact d->0 Newton limit du = -g_p - d*g_u pointwise instead
@@ -124,13 +129,23 @@ def fd_obstacle_solve(N: int, max_outer: int = 100, newton_tol: float = 1e-4,
                 -g_u - g_p / dsafe
                 - alpha * _laplacian_dirichlet(du_a, h2inv), 0.0)
 
-            def S(v):
-                vf = jnp.where(free, v, 0.0)
-                Av = _laplacian_dirichlet(vf, h2inv)
-                return jnp.where(free, alpha * Av + v / dsafe, v)
+            # Symmetric Jacobi scaling of the Schur CG: rows of
+            # S = alpha*A + D^{-1} span ~1e16 in deep contact, and the
+            # TPU's emulated f64 overflows (~1e38 intermediates) on the
+            # squared terms CG forms from them — solve
+            # D_S^{-1/2} S D_S^{-1/2} y = D_S^{-1/2} rhs instead, which
+            # keeps every product O(1)-scaled and doubles as a Jacobi
+            # preconditioner.
+            sD = jnp.where(free,
+                           jnp.sqrt(alpha * 4.0 * h2inv + 1.0 / dsafe), 1.0)
 
-            w = _cg_stencil(S, rhs, cg_tol, 20 * N)
-            du = jnp.where(free, w, du_a)
+            def S(v):
+                vf = jnp.where(free, v / sD, 0.0)
+                Av = _laplacian_dirichlet(vf, h2inv)
+                return jnp.where(free, (alpha * Av + vf / dsafe) / sD, v)
+
+            y = _cg_stencil(S, jnp.where(free, rhs / sD, 0.0), cg_tol, 20 * N)
+            du = jnp.where(free, y / sD, du_a)
             # latent update from the linear first Newton row (no division)
             dpsi = jnp.where(
                 interior,

@@ -115,7 +115,9 @@ def fd_obstacle_solve_sharded(
 
         def residual(u, psi):
             g_u = jnp.where(interior, alpha * lap(u) + (psi - psi_k), u)
-            g_p = jnp.where(interior, u - jnp.exp(psi) - phi, 0.0)
+            # overflow-safe exp (see models/obstacle_fd.py residual)
+            g_p = jnp.where(interior,
+                            u - jnp.exp(jnp.minimum(psi, 500.0)) - phi, 0.0)
             return g_u, g_p
 
         def dot(a, b):
@@ -147,7 +149,7 @@ def fd_obstacle_solve_sharded(
         def newton_body(state):
             it, u, psi, _ = state
             g_u, g_p = residual(u, psi)
-            d = jnp.exp(psi)
+            d = jnp.exp(jnp.minimum(psi, 500.0))
             row_scale = alpha * 4.0 * h2inv + 1.0
             active = jnp.logical_and(interior, d * 1e14 * row_scale < 1.0)
             free = jnp.logical_and(interior, ~active)
@@ -156,11 +158,17 @@ def fd_obstacle_solve_sharded(
             rhs = jnp.where(free, -g_u - g_p / dsafe
                             - alpha * lap(du_a), 0.0)
 
-            def S(v):
-                vf = jnp.where(free, v, 0.0)
-                return jnp.where(free, alpha * lap(vf) + v / dsafe, v)
+            # symmetric Jacobi scaling (see models/obstacle_fd.py): keeps
+            # the emulated-f64 TPU path inside its dynamic range
+            sD = jnp.where(free,
+                           jnp.sqrt(alpha * 4.0 * h2inv + 1.0 / dsafe), 1.0)
 
-            du = jnp.where(free, cg(S, rhs, 20 * N), du_a)
+            def S(v):
+                vf = jnp.where(free, v / sD, 0.0)
+                return jnp.where(free, (alpha * lap(vf) + vf / dsafe) / sD, v)
+
+            y = cg(S, jnp.where(free, rhs / sD, 0.0), 20 * N)
+            du = jnp.where(free, y / sD, du_a)
             dpsi = jnp.where(interior, -(g_u + alpha * lap(du)), 0.0)
             u, psi = u + du, psi + dpsi
             g_u, g_p = residual(u, psi)
