@@ -87,11 +87,40 @@ def _worker_fem(n: int, tol: float):
         result = solver.solve(verbose=False)
     elapsed = time.time() - t0
     feas = float((result.u - np.asarray(solver.phi)).min())
+
+    # ---- roofline accounting (VERDICT round-1 item 6): the solve is
+    # dominated by the inner-CG DIA SpMV, a bandwidth-bound kernel. Per CG
+    # iteration: 1 SpMV (read A once, gather x per diagonal, write y) +
+    # ~6 N-vector streams (axpy/dot/precond). Achieved GB/s vs the v5e
+    # HBM roofline (~819 GB/s) is the honest utilization metric; FLOP/s
+    # is reported for completeness (SpMV arithmetic intensity ~0.25
+    # FLOP/byte makes MXU-style MFU meaningless here).
+    N = solver.N
+    ndiags = (solver.A_data.shape[0] if solver.A_data.ndim == 2
+              else solver.ell.pattern.width)
+    esz = 4 if mixed else 8          # inner CG element size (f32 | f64)
+    cg = int(getattr(result, "cg_its_total", 0))
+    spmv_bytes = ndiags * N * esz * 2 + N * esz     # A + x gathers + y
+    iter_bytes = spmv_bytes + 6 * N * esz
+    total_bytes = cg * iter_bytes
+    spmv_flops = 2 * ndiags * N
+    total_flops = cg * (spmv_flops + 6 * N)
+    gbps = total_bytes / max(elapsed, 1e-9) / 1e9
+    V5E_HBM_GBPS = 819.0
+    print(f"# roofline: cg_its={cg} ndiags={ndiags} "
+          f"bytes={total_bytes:.3e} flops={total_flops:.3e} "
+          f"achieved={gbps:.1f} GB/s "
+          f"membw_util={gbps / V5E_HBM_GBPS:.3f} "
+          f"gflops={total_flops / max(elapsed, 1e-9) / 1e9:.1f}",
+          file=sys.stderr, flush=True)
+
     print(json.dumps({
         "mode": "fem_p1", "elapsed": elapsed, "n": n,
         "dofs": 2 * solver.N, "newton": result.newton_its,
         "outer": result.outer_iterations, "converged": result.converged,
-        "feasibility": feas}))
+        "feasibility": feas, "cg_its": cg,
+        "membw_gbps": round(gbps, 1),
+        "membw_util": round(gbps / V5E_HBM_GBPS, 3)}))
 
 
 def _worker_fd(n: int, tol: float):

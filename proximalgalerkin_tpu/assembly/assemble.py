@@ -305,10 +305,59 @@ class VolumeForm:
 
     # ------------------------------------------------- element matrices
 
+    # cells per block for chunked element-matrix assembly: the jacfwd
+    # einsums materialize (cells, nq, nl, m, d, m, d)-shaped intermediates;
+    # unchunked at ~10k cells x 36 qpoints XLA's peak estimate exceeded
+    # TPU HBM (observed 27.7G at the 80^2 gradient-constraint mesh).
+    ELEMENT_MATRIX_CHUNK = 2048
+
     def _element_matrices_core(self, x, coeffs, consts, data=None):
         """Full mixed element matrices (e, L, L), L = sum_f nl_f * m_f,
-        local ordering = fields in space order, each (i, comp) interleaved."""
+        local ordering = fields in space order, each (i, comp) interleaved.
+        Large meshes are processed in cell blocks via lax.map to bound the
+        jacfwd-einsum working set."""
         data = self.cell_data if data is None else data
+        e = data["wdet"].shape[0]
+        CH = self.ELEMENT_MATRIX_CHUNK
+        if e <= CH:
+            return self._element_matrices_block(x, coeffs, consts, data)
+
+        raw = {k: v for k, v in (coeffs or {}).items()
+               if k not in self.coeff_tab}
+        fe = {k: v for k, v in (coeffs or {}).items() if k in self.coeff_tab}
+
+        def slice_tree(lo, n):
+            d = jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_slice_in_dim(a, lo, n, axis=0),
+                data)
+            r = {k: jax.lax.dynamic_slice_in_dim(jnp.asarray(v, self.dtype),
+                                                 lo, n, axis=0)
+                 for k, v in raw.items()}
+            return d, r
+
+        nfull = e // CH
+        stacked_d, stacked_r = None, None
+        parts = []
+        if nfull:
+            blocks = [slice_tree(i * CH, CH) for i in range(nfull)]
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *blocks)
+
+            def fn(dr):
+                d, r = dr
+                return self._element_matrices_block(
+                    x, {**fe, **r}, consts, d)
+
+            main = jax.lax.map(fn, stacked)
+            parts.append(main.reshape((-1,) + main.shape[2:]))
+        tail = e - nfull * CH
+        if tail:
+            d, r = slice_tree(nfull * CH, tail)
+            parts.append(self._element_matrices_block(
+                x, {**fe, **r}, consts, d))
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+    def _element_matrices_block(self, x, coeffs, consts, data):
         x = jnp.asarray(x, self.dtype)
         vals, grads = {}, {}
         for f in self.space.names:

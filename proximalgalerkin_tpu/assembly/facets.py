@@ -16,7 +16,7 @@ cell Jacobian and the reference outward normal.
 from __future__ import annotations
 
 from functools import cached_property
-from typing import Callable, Dict
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -64,9 +64,15 @@ class FacetForm:
 
     def __init__(self, space: MixedSpace, facets: np.ndarray,
                  residual_fn: Callable, quadrature_degree: int,
-                 dtype=jnp.float64):
+                 dtype=jnp.float64, jacobian_fn: Optional[Callable] = None):
         self.space = space
         self.residual_fn = residual_fn
+        # Optional modified-Jacobian residual (the reference's regularized-
+        # Jacobian pattern, fracture_dolfinx.py:132-138): its derivative is
+        # used for element matrices / matrix-free actions while residual_fn
+        # defines F — e.g. an eps-mass term keeping the latent block's
+        # diagonal bounded away from zero for iterative solvers.
+        self.jacobian_fn = jacobian_fn
         self.dtype = dtype
         mesh = space.mesh
         self.mesh = mesh
@@ -149,7 +155,8 @@ class FacetForm:
 
     # ------------------------------------------------------------ core
 
-    def _residual_core(self, x, coeffs, consts, data=None):
+    def _residual_core(self, x, coeffs, consts, data=None, out_size=None,
+                       fn: Optional[Callable] = None):
         data = self.facet_data if data is None else data
         x = jnp.asarray(x, self.dtype)
         vals, grads = {}, {}
@@ -165,13 +172,15 @@ class FacetForm:
                 a = a[:, :, None]
             cv[name] = a
 
+        user_fn = fn or self.residual_fn
+
         def pw(xq, sv, sg, cvq, nrm):
             u = {f: (sv[f][0] if self.field_m[f] == 1 else sv[f])
                  for f in self.space.names}
             gu = {f: (sg[f][0] if self.field_m[f] == 1 else sg[f])
                   for f in self.space.names}
             c = {k: (v[0] if v.shape == (1,) else v) for k, v in cvq.items()}
-            out = self.residual_fn(xq, u, gu, c, {}, nrm, consts)
+            out = user_fn(xq, u, gu, c, {}, nrm, consts)
             res = {}
             for f, m in self.field_m.items():
                 a0 = out.get(f)
@@ -181,7 +190,7 @@ class FacetForm:
 
         t = jax.vmap(jax.vmap(pw))(data["xq"], vals, grads, cv,
                                    data["normals"])
-        F = jnp.zeros(self.space.num_dofs, self.dtype)
+        F = jnp.zeros(out_size or self.space.num_dofs, self.dtype)
         for f in self.space.names:
             a0 = t[f] * data["wdet"][:, :, None]
             r = jnp.einsum("nqi,nqm->nim", data["tab"][f], a0)
@@ -196,6 +205,13 @@ class FacetForm:
     def residual(self, x, coeffs=None, consts=None):
         return self._residual_jit(x, coeffs or {}, consts or {},
                                   self.facet_data)
+
+    def _jacobian_residual_core(self, x, coeffs, consts, data=None,
+                                out_size=None):
+        """Residual whose derivative defines the Jacobian (differs from
+        the true residual when jacobian_fn is set)."""
+        return self._residual_core(x, coeffs, consts, data, out_size,
+                                   fn=self.jacobian_fn)
 
     # ------------------------------------------------- element matrices
 
@@ -217,13 +233,15 @@ class FacetForm:
                 a = a[:, :, None]
             cv[name] = a
 
+        jfn = self.jacobian_fn or self.residual_fn
+
         def pw(xq, sv, sg, cvq, nrm):
             u = {f: (sv[f][0] if self.field_m[f] == 1 else sv[f])
                  for f in self.space.names}
             gu = {f: (sg[f][0] if self.field_m[f] == 1 else sg[f])
                   for f in self.space.names}
             c = {k: (v[0] if v.shape == (1,) else v) for k, v in cvq.items()}
-            out = self.residual_fn(xq, u, gu, c, {}, nrm, consts)
+            out = jfn(xq, u, gu, c, {}, nrm, consts)
             res = {}
             for f, m in self.field_m.items():
                 a0 = out.get(f)

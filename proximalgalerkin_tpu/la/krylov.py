@@ -142,6 +142,96 @@ def minres(A: Callable, b, x0=None, *, tol=1e-10, atol=0.0, maxiter=10_000,
     return x
 
 
+def gmres_givens(A: Callable, b, x0=None, *, tol=1e-10, atol=0.0,
+                 maxiter=10_000, restart=30, Minv_diag=None):
+    """Restarted GMRES(m) with modified-Gram-Schmidt Arnoldi and Givens
+    rotations, right-preconditioned by an inverse-diagonal vector.
+
+    Built from matvecs, masked dots, and scalar rotations only — no
+    Hessenberg least-squares solve_triangular on big systems and no
+    host callbacks, so it runs on the TPU's emulated-f64 path where
+    jax.scipy's batched GMRES has faulted. The nonsymmetric-Jacobian
+    stand-in for MUMPS (thermoforming QVI, multiphase)."""
+    n = b.shape[0]
+    dtype = b.dtype
+    m = restart
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    dinv = jnp.ones_like(b) if Minv_diag is None else Minv_diag
+    bnorm = jnp.linalg.norm(b)
+    target = jnp.maximum(tol * bnorm, atol)
+
+    def cycle(x):
+        r = b - A(x)
+        beta = jnp.linalg.norm(r)
+        V = jnp.zeros((m + 1, n), dtype)
+        V = V.at[0].set(r / jnp.maximum(beta, 1e-300))
+        H = jnp.zeros((m + 1, m), dtype)
+        cs = jnp.zeros(m, dtype)
+        sn = jnp.zeros(m, dtype)
+        g = jnp.zeros(m + 1, dtype).at[0].set(beta)
+
+        def arnoldi(j, carry):
+            V, H, cs, sn, g = carry
+            w = A(dinv * V[j])
+            # masked MGS: orthogonalize against V[0..j] (static shapes)
+            mask = (jnp.arange(m + 1) <= j).astype(dtype)
+            h = (V @ w) * mask
+            w = w - h @ V
+            h2 = jnp.linalg.norm(w)
+            V = V.at[j + 1].set(w / jnp.maximum(h2, 1e-300))
+            # apply previous Givens rotations to the new column
+            col = h.at[j + 1].set(h2)
+
+            def rot(i, col):
+                ci, si = cs[i], sn[i]
+                a_, b_ = col[i], col[i + 1]
+                col = col.at[i].set(ci * a_ + si * b_)
+                return col.at[i + 1].set(-si * a_ + ci * b_)
+
+            col = jax.lax.fori_loop(0, j, rot, col)
+            denom = jnp.sqrt(col[j] ** 2 + col[j + 1] ** 2)
+            cj = jnp.where(denom > 0, col[j] / jnp.maximum(denom, 1e-300),
+                           1.0)
+            sj = jnp.where(denom > 0,
+                           col[j + 1] / jnp.maximum(denom, 1e-300), 0.0)
+            col = col.at[j].set(denom).at[j + 1].set(0.0)
+            cs = cs.at[j].set(cj)
+            sn = sn.at[j].set(sj)
+            gj = g[j]
+            g = g.at[j].set(cj * gj).at[j + 1].set(-sj * gj)
+            H = H.at[:, j].set(col[:m + 1])
+            return V, H, cs, sn, g
+
+        V, H, cs, sn, g = jax.lax.fori_loop(0, m, arnoldi,
+                                            (V, H, cs, sn, g))
+        # back-substitute the m x m upper-triangular system H y = g
+        def back(i_, y):
+            i = m - 1 - i_
+            s = g[i] - jnp.dot(H[i, :], y)
+            return y.at[i].set(s / jnp.where(jnp.abs(H[i, i]) > 1e-300,
+                                             H[i, i], 1.0))
+
+        y = jax.lax.fori_loop(0, m, back, jnp.zeros(m, dtype))
+        x = x + dinv * (y @ V[:m])
+        return x, jnp.abs(g[m])
+
+    ncycles = max(1, -(-maxiter // m))
+
+    def cond(s):
+        i, x, rn = s
+        return jnp.logical_and(i < ncycles, rn > target)
+
+    def body(s):
+        i, x, _ = s
+        x, rn = cycle(x)
+        return i + 1, x, rn
+
+    r0 = jnp.linalg.norm(b - A(x0))
+    _, x, _ = jax.lax.while_loop(cond, body, (0, x0, r0))
+    return x
+
+
 def minres_info(A: Callable, b, x0=None, *, tol=1e-10, atol=0.0,
                 maxiter=10_000, Minv_diag=None, Minv=None):
     """minres that also returns (residual norm, iteration count) — for
@@ -155,4 +245,5 @@ def minres_info(A: Callable, b, x0=None, *, tol=1e-10, atol=0.0,
                         Minv_diag, Minv)
 
 
-KRYLOV = {"cg": cg, "gmres": gmres, "bicgstab": bicgstab, "minres": minres}
+KRYLOV = {"cg": cg, "gmres": gmres, "gmres_d": gmres_givens,
+          "bicgstab": bicgstab, "minres": minres}

@@ -83,6 +83,14 @@ def solve_eikonal(
             "snes_atol": tol, "snes_stol": tol, "snes_max_it": 100,
             "ksp_type": "preonly", "pc_type": "lu"}
     opts.update(solver_options or {})
+    # Iterative default: block-Schur MINRES with block0 = the latent psi
+    # (its diagonal is the Hellinger-map derivative mass matrix — the
+    # invertible block), the ex40.cpp:261-281 recipe. Chosen whenever the
+    # user asks for minres without naming a preconditioner.
+    if opts.get("ksp_type") == "minres" and "pc_type" not in (
+            solver_options or {}):
+        opts.update({"pc_type": "schur", "mat_type": "ell",
+                     "pc_schur_field0": "psi"})
     newton = NewtonSolver(problem, SolverOptions(opts))
 
     l2_fn = form.make_functional(

@@ -42,6 +42,7 @@ class P1ObstacleResult:
     newton_per_outer: List[int]
     increments: List[float]
     converged: bool
+    cg_its_total: int = 0      # inner CG iterations (roofline accounting)
 
 
 # When the f32 inner CG reaches its noise floor just above the requested
@@ -446,7 +447,7 @@ class P1ObstacleSolver:
             u=np.asarray(u), psi=np.asarray(psi),
             outer_iterations=int(k), newton_its=int(tn),
             newton_per_outer=[], increments=[inc_f],
-            converged=inc_f < self.outer_tol)
+            converged=inc_f < self.outer_tol, cg_its_total=int(tcg))
 
     def solve(self, max_outer: int = 100, verbose: bool = False
               ) -> P1ObstacleResult:
@@ -461,6 +462,7 @@ class P1ObstacleSolver:
         per_outer: List[int] = []
         increments: List[float] = []
         total = 0
+        cg_total = 0
         converged = False
         k_done = 0
         for k in range(max_outer):
@@ -474,6 +476,7 @@ class P1ObstacleSolver:
                 self.A32 if self.mixed_precision else self.A_data,
                 self.ea32 if self.mixed_precision else ea)
             total += int(nits)
+            cg_total += int(cg_its)
             per_outer.append(int(nits))
             psi_k = psi
             inc = float(inc_dev)
@@ -490,4 +493,5 @@ class P1ObstacleSolver:
         return P1ObstacleResult(
             u=np.asarray(u), psi=np.asarray(psi), outer_iterations=k_done,
             newton_its=total, newton_per_outer=per_outer,
-            increments=increments, converged=converged)
+            increments=increments, converged=converged,
+            cg_its_total=cg_total)

@@ -99,13 +99,38 @@ def solve_signorini(
     def facet_residual(x, u, gu, c, gc, n, consts):
         g = x[gdim - 1] - gap
         un = jnp.dot(u["u"], n_g_j)
+        # overflow-safe exp: inexact (Krylov) Newton directions can
+        # overshoot psi transiently; a huge-but-finite residual lets the
+        # next step recover where exp(inf) would poison the solve
+        psi_c = jnp.minimum(u["psi"], 45.0)
         return {
             "u": -(u["psi"] - c["psi_k"]) * n_g_j,
-            "psi": un + jnp.exp(u["psi"]) - g,
+            # psi-row NEGATED relative to the reference's sign convention
+            # (signorini_dolfinx.py:244-249): same zeros, same |F|, same
+            # Newton steps, but the facet Jacobian block becomes SYMMETRIC
+            # ([[0, -M],[-M, -e^psi M]] instead of [[0,-M],[+M, e^psi M]]),
+            # which makes the full saddle system MINRES-admissible
+            "psi": -(un + jnp.exp(psi_c) - g),
         }
 
+    # Regularized Jacobian for iterative (Krylov) solves: deep off-contact
+    # the latent diagonal -exp(psi) M underflows and the saddle system is
+    # numerically singular — exactly the case direct LU pivots through.
+    # The reference's own recipe is an eps-mass Jacobian regularization
+    # (fracture_dolfinx.py:132-138); eps=1e-8 bounds the block's diagonal
+    # while leaving Newton directions accurate to O(eps).
+    opts_peek = dict(solver_options or {})
+    iterative = opts_peek.get("ksp_type", "preonly") not in ("preonly",) \
+        and opts_peek.get("pc_type", "lu") != "lu"
+
+    def facet_jacobian(x, u, gu, c, gc, n, consts):
+        out = facet_residual(x, u, gu, c, gc, n, consts)
+        out["psi"] = out["psi"] - 1e-8 * u["psi"]
+        return out
+
     facet_form = FacetForm(space_all, contact_facets, facet_residual,
-                           quadrature_degree)
+                           quadrature_degree,
+                           jacobian_fn=facet_jacobian if iterative else None)
 
     # Dirichlet: full displacement vector (0, disp) on the flat top (:261-270)
     disp_dofs = Vu.facet_closure_dofs(disp_facets)

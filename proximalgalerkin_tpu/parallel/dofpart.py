@@ -82,21 +82,35 @@ def _first_touch(dofmap_ordered_flat: np.ndarray, ns: int) -> np.ndarray:
     return new_of_old
 
 
-def _build_field_partition(dofmap: np.ndarray, ordered_cells: np.ndarray,
-                           ns: int, m: int, nd: int) -> FieldPartition:
-    dm_ord = dofmap[ordered_cells.reshape(-1)]
-    new_of_old = _first_touch(dm_ord.reshape(-1), ns)
+def _build_field_partition(chains, ns: int, m: int, nd: int,
+                           valid=None) -> FieldPartition:
+    """chains: list of (nd, X_i) arrays of scalar dofs in device-major
+    traversal order (cells first, then facet entities); `valid`: matching
+    list of bool masks — padded entities are excluded from the halo-width
+    measurement (their gather indices are later clamped to owned dofs)."""
+    flat = np.concatenate([c.reshape(nd, -1) for c in chains], axis=1)
+    if valid is None:
+        vmask = np.ones_like(flat, dtype=bool)
+    else:
+        vmask = np.concatenate([v.reshape(nd, -1) for v in valid], axis=1)
+    # first-touch over VALID entries only — a padded entity row repeats an
+    # arbitrary real entity and must not claim its dofs for the pad device
+    new_of_old = _first_touch(flat.reshape(-1)[vmask.reshape(-1)], ns)
     Bs = max(-(-ns // nd), 1)
-    ns_new = new_of_old[dm_ord].reshape(ordered_cells.shape + (-1,))
-    dev = np.arange(nd)[:, None, None]
-    k = int(np.max(np.abs(ns_new // Bs - dev))) if ns_new.size else 0
+    dev = np.arange(nd)[:, None]
+    ns_new = new_of_old[flat]
+    dist = np.abs(ns_new // Bs - dev)
+    k = int(dist[vmask].max()) if vmask.any() else 0
     return FieldPartition(new_of_old=new_of_old, Bs=Bs, m=m, k=k)
 
 
 def _rewrite_gather(gidx_old: np.ndarray, offset: int, part: FieldPartition,
-                    ext_off: int, nd: int) -> np.ndarray:
+                    ext_off: int, nd: int, valid=None) -> np.ndarray:
     """Old global-mixed component indices (nd, cpd, nl, m) -> extended-local
-    coordinates [ext_off, ext_off + part.ext_size)."""
+    coordinates [ext_off, ext_off + part.ext_size). Entries of padded
+    entities (valid=False rows) are clamped to the device's own block
+    start — their wdet is zero, so the gathered value never contributes,
+    but the index must stay inside the halo window."""
     old_comp = gidx_old.astype(np.int64) - offset
     old_scalar, comp = old_comp // part.m, old_comp % part.m
     ns = part.new_of_old[old_scalar]
@@ -104,9 +118,16 @@ def _rewrite_gather(gidx_old: np.ndarray, offset: int, part: FieldPartition,
     pos = ns - block * part.Bs
     dev = np.arange(nd).reshape((nd,) + (1,) * (gidx_old.ndim - 1))
     dblock = block - (dev - part.k)
+    ext = ext_off + dblock * part.B + pos * part.m + comp
+    if valid is not None:
+        own_start = ext_off + part.k * part.B
+        vmask = np.broadcast_to(
+            valid.reshape(valid.shape + (1,) * (gidx_old.ndim - valid.ndim)),
+            gidx_old.shape)
+        ext = np.where(vmask, ext, own_start)
+        dblock = np.where(vmask, dblock, part.k)
     if np.any(dblock < 0) or np.any(dblock > 2 * part.k):
         raise AssertionError("ghost outside halo window")  # k was measured
-    ext = ext_off + dblock * part.B + pos * part.m + comp
     return ext.astype(np.int32)
 
 
@@ -121,12 +142,15 @@ class DistributedProblem:
     each device owns the concatenation of its per-field owned blocks.
     """
 
-    def __init__(self, problem: NonlinearProblem,
-                 devices: Optional[list] = None, axis: str = "dev"):
+    def __init__(self, problem, devices: Optional[list] = None,
+                 axis: str = "dev"):
         self.problem = problem
-        form = problem.form
+        # CompositeProblem (volume + facet legs, the Signorini
+        # mixed-dimensional structure) or plain volume NonlinearProblem
+        self.facet_forms = list(getattr(problem, "facet_forms", []))
+        form = getattr(problem, "vol_form", problem.form)
         self.form = form
-        space = form.space
+        space = problem.space          # full block space (space_all)
         self.space = space
         self.axis = axis
         devs = devices if devices is not None else jax.devices()
@@ -149,14 +173,58 @@ class DistributedProblem:
         pad_mask = np.zeros(nd * cpd, dtype=bool)
         pad_mask[nc:] = True
         self.cell_pad = pad_mask.reshape(nd, cpd)
+        cell_dev = np.empty(nc, dtype=np.int64)
+        cell_dev[order] = np.minimum(np.arange(nc) // cpd, nd - 1)
 
-        # ---- per-field partitions (solution fields)
+        # ---- facet legs: each facet is owned by its parent cell's device
+        # (the entity-ownership rule of the reference's shared-facet ghost
+        # mode, read_mobius_dolfinx.py:72-74); per-device counts are padded
+        # to the max with wdet-zeroed repeats
+        self._facet_meta = []
+        for ff in self.facet_forms:
+            parents = mesh.facet_cells[np.asarray(ff.facets), 0]
+            fdev = cell_dev[parents]
+            by_dev = [np.flatnonzero(fdev == d) for d in range(nd)]
+            fpd = max(1, max(len(b) for b in by_dev))
+            sel = np.zeros((nd, fpd), dtype=np.int64)
+            val = np.zeros((nd, fpd), dtype=bool)
+            for d, b in enumerate(by_dev):
+                if len(b):
+                    sel[d, :len(b)] = b
+                    sel[d, len(b):] = b[-1] if len(b) else 0
+                    val[d, :len(b)] = True
+                # devices with no facets of this leg keep facet 0 with
+                # valid=False: zero wdet + clamped gather indices
+            self._facet_meta.append({"sel": sel, "valid": val, "fpd": fpd})
+
+        # ---- per-field partitions (solution fields): first-touch chains
+        # from the volume traversal plus every facet leg that references
+        # the field (trace fields are touched only by facet legs)
         self.parts: Dict[str, FieldPartition] = {}
         for f in space.names:
             fs = space.spaces[f]
+            m = fs.value_size
+            chains, valids = [], []
+            if f in form.space.names:
+                dm = fs.dofmap.astype(np.int64)[self.ordered_cells]
+                chains.append(dm.reshape(nd, -1))
+                valids.append(np.broadcast_to(
+                    ~self.cell_pad[:, :, None], dm.shape).reshape(nd, -1))
+            for ff, meta in zip(self.facet_forms, self._facet_meta):
+                if f not in ff.space.names:
+                    continue
+                gi = np.asarray(ff.facet_data["gather_idx"][f])
+                sc = ((gi.astype(np.int64) - space.offsets[f]) // m)
+                sc_dev = sc[meta["sel"].reshape(-1)].reshape(
+                    (nd, -1))
+                chains.append(sc_dev)
+                nper = sc.shape[1] * sc.shape[2]
+                valids.append(np.repeat(meta["valid"].reshape(nd, -1),
+                                        nper, axis=1))
+            if not chains:
+                raise ValueError(f"field {f} untouched by any leg")
             self.parts[f] = _build_field_partition(
-                fs.dofmap.astype(np.int64), self.ordered_cells,
-                fs.num_scalar_dofs, fs.value_size, nd)
+                chains, fs.num_scalar_dofs, m, nd, valid=valids)
 
         # device-local solution layout: concatenated per-field owned blocks
         self.loc_off: Dict[str, int] = {}
@@ -189,9 +257,11 @@ class DistributedProblem:
             if shared is not None:
                 self.coeff_parts[name] = self.parts[shared]
             else:
+                dm = fs.dofmap.astype(np.int64)[self.ordered_cells]
+                vm = np.broadcast_to(~self.cell_pad[:, :, None], dm.shape)
                 self.coeff_parts[name] = _build_field_partition(
-                    fs.dofmap.astype(np.int64), self.ordered_cells,
-                    fs.num_scalar_dofs, fs.value_size, nd)
+                    [dm.reshape(nd, -1)], fs.num_scalar_dofs,
+                    fs.value_size, nd, valid=[vm.reshape(nd, -1)])
             self.coeff_shared_field[name] = shared
 
         # ---- device-local cell data with rewritten indices
@@ -204,17 +274,19 @@ class DistributedProblem:
         G = np.asarray(cd["G"])[oc.reshape(-1)].reshape(
             (nd, cpd) + np.asarray(cd["G"]).shape[1:])
         gather, coeffi = {}, {}
-        for f in space.names:
+        cell_valid = ~self.cell_pad
+        for f in form.space.names:
             gi = np.asarray(cd["gather_idx"][f])[oc.reshape(-1)].reshape(
                 (nd, cpd) + np.asarray(cd["gather_idx"][f]).shape[1:])
             gather[f] = _rewrite_gather(gi, space.offsets[f], self.parts[f],
-                                        self.ext_off[f], nd)
+                                        self.ext_off[f], nd,
+                                        valid=cell_valid)
         for name in form.coeff_spaces:
             ci = np.asarray(cd["coeff_idx"][name])[oc.reshape(-1)].reshape(
                 (nd, cpd) + np.asarray(cd["coeff_idx"][name]).shape[1:])
             # coefficient ext vectors stand alone: no ext offset
             coeffi[name] = _rewrite_gather(ci, 0, self.coeff_parts[name],
-                                           0, nd)
+                                           0, nd, valid=cell_valid)
 
         sh = NamedSharding(self.dmesh, P(axis))
         put = lambda a: jax.device_put(jnp.asarray(a), sh)
@@ -223,6 +295,41 @@ class DistributedProblem:
             "gather_idx": {f: put(v) for f, v in gather.items()},
             "coeff_idx": {n: put(v) for n, v in coeffi.items()},
         }
+        # consistency of the vol-form's own offsets with the block space
+        for f in form.space.names:
+            if form.space.offsets[f] != space.offsets[f]:
+                raise ValueError("volume fields must precede trace fields "
+                                 "in the block space")
+
+        # ---- facet-leg device data (rewritten into extended coordinates)
+        self.facet_data_loc = []
+        for ff, meta in zip(self.facet_forms, self._facet_meta):
+            selr = meta["sel"].reshape(-1)
+            fpd = meta["fpd"]
+
+            def take(a):
+                a = np.asarray(a)
+                return a[selr].reshape((nd, fpd) + a.shape[1:])
+
+            fd = ff.facet_data
+            fwdet = take(fd["wdet"])
+            fwdet[~meta["valid"]] = 0.0
+            fgather, li_parts = {}, []
+            for f in ff.space.names:
+                gi = take(fd["gather_idx"][f])
+                ext = _rewrite_gather(gi, space.offsets[f], self.parts[f],
+                                      self.ext_off[f], nd,
+                                      valid=meta["valid"])
+                fgather[f] = ext
+                li_parts.append(ext.reshape(nd, fpd, -1))
+            self.facet_data_loc.append({
+                "xq": put(take(fd["xq"])), "wdet": put(fwdet),
+                "normals": put(take(fd["normals"])),
+                "tab": {f: put(take(v)) for f, v in fd["tab"].items()},
+                "gtab": {f: put(take(v)) for f, v in fd["gtab"].items()},
+                "gather_idx": {f: put(v) for f, v in fgather.items()},
+                "li": put(np.concatenate(li_parts, axis=2)),
+            })
 
         # ---- BC masks (dense per-device) incl. identity rows for pad dofs
         bc_mask = np.zeros((nd, self.Bsum), dtype=bool)
@@ -306,6 +413,15 @@ class DistributedProblem:
         a = np.asarray(arr)
         out = a[self.ordered_cells.reshape(-1)].reshape(
             (self.nd, self.cpd) + a.shape[1:])
+        return jax.device_put(jnp.asarray(out), self.sharding)
+
+    def scatter_facetq(self, arr, leg: int = 0) -> jnp.ndarray:
+        """Per-(facet, quadrature-point) coefficient of facet leg `leg` ->
+        sharded facet blocks (padded entries repeat; wdet=0 kills them)."""
+        meta = self._facet_meta[leg]
+        a = np.asarray(arr)
+        out = a[meta["sel"].reshape(-1)].reshape(
+            (self.nd, meta["fpd"]) + a.shape[1:])
         return jax.device_put(jnp.asarray(out), self.sharding)
 
     def field_slice(self, name: str):
@@ -393,31 +509,45 @@ class DistributedProblem:
 
     # ---------------------------------------------- local (in-shard) kernels
 
-    def _local_residual_nobc(self, x_loc, coeffs_loc, consts, data,
-                             jacobian_variant=False):
+    def _local_residual_nobc(self, x_loc, coeffs_loc, fcoeffs_loc, consts,
+                             data, fdatas, jacobian_variant=False):
         x_ext = self._forward_ext(x_loc)
         cv = self._prep_coeffs(coeffs_loc)
         core = (self.form._jacobian_residual_core if jacobian_variant
                 else self.form._residual_core)
         F_ext = core(x_ext, cv, consts, data, self.ext_total)
+        for ff, fd in zip(self.facet_forms, fdatas):
+            fcore = (ff._jacobian_residual_core if jacobian_variant
+                     else ff._residual_core)
+            F_ext = F_ext + fcore(x_ext, fcoeffs_loc, consts,
+                                  fd, self.ext_total)
         return self._reverse_fold(F_ext)
 
-    def _local_residual(self, x_loc, coeffs_loc, consts, data, bcm, bcv):
-        F = self._local_residual_nobc(x_loc, coeffs_loc, consts, data)
+    def _local_residual(self, x_loc, coeffs_loc, fcoeffs_loc, consts, data,
+                        fdatas, bcm, bcv):
+        F = self._local_residual_nobc(x_loc, coeffs_loc, fcoeffs_loc,
+                                      consts, data, fdatas)
         return jnp.where(bcm, x_loc - bcv, F)
 
-    def _local_jac_action(self, x_loc, v_loc, coeffs_loc, consts, data, bcm):
+    def _local_jac_action(self, x_loc, v_loc, coeffs_loc, fcoeffs_loc,
+                          consts, data, fdatas, bcm):
         w = jnp.where(bcm, 0.0, v_loc)
         y = jax.jvp(lambda z: self._local_residual_nobc(
-            z, coeffs_loc, consts, data, jacobian_variant=True),
+            z, coeffs_loc, fcoeffs_loc, consts, data, fdatas,
+            jacobian_variant=True),
             (x_loc,), (w,))[1]
         return jnp.where(bcm, v_loc, y)
 
-    def _local_diagonal(self, x_loc, coeffs_loc, consts, data, bcm):
+    def _local_diagonal(self, x_loc, coeffs_loc, fcoeffs_loc, consts, data,
+                        fdatas, bcm):
         x_ext = self._forward_ext(x_loc)
         cv = self._prep_coeffs(coeffs_loc)
         d_ext = self.form._diagonal_core(x_ext, cv, consts, data,
                                          self.ext_total)
+        for ff, fd in zip(self.facet_forms, fdatas):
+            Ae = ff._element_matrices_core(x_ext, fcoeffs_loc, consts, fd)
+            dloc = jnp.einsum("nll->nl", Ae)
+            d_ext = d_ext.at[fd["li"].reshape(-1)].add(dloc.reshape(-1))
         d = self._reverse_fold(d_ext)
         return jnp.where(bcm, 1.0, d)
 
@@ -504,54 +634,59 @@ class DistributedProblem:
 
     # ------------------------------------------------------- public jitted
 
-    def _shmap(self, fn, n_out_loc=1, n_scalar_out=0):
-        """Wrap a local kernel over (x-like vectors..., coeffs, consts, data,
-        bc) with the standard spec pattern."""
-        return shard_map(
-            fn, mesh=self.dmesh,
-            in_specs=(P(self.axis),) * n_out_loc
-            + (P(self.axis), P(), P(self.axis), P(self.axis), P(self.axis)),
-            out_specs=tuple([P(self.axis)] * n_out_loc
-                            + [P()] * n_scalar_out)
-            if n_out_loc + n_scalar_out > 1 else P(self.axis),
-            check_rep=False)
+    @staticmethod
+    def _squeeze0(tree):
+        return jax.tree_util.tree_map(lambda a: a[0], tree)
 
     def residual(self, x_shard, coeffs: Optional[Mapping] = None,
-                 consts: Optional[Mapping] = None) -> jnp.ndarray:
+                 consts: Optional[Mapping] = None,
+                 facet_coeffs: Optional[Mapping] = None) -> jnp.ndarray:
         if "residual" not in self._jits:
-            def kern(x, coeffs_loc, consts, data, bcm, bcv):
-                dl = jax.tree_util.tree_map(lambda a: a[0], data)
-                cl = {k: (v if v.ndim == 1 else v[0])
-                      for k, v in coeffs_loc.items()}
+            def kern(x, coeffs_loc, fcoeffs, consts, data, fdatas, bcm, bcv):
+                dl = self._squeeze0(data)
+                fdl = [self._squeeze0(fd) for fd in fdatas]
+                fcl = self._squeeze0(fcoeffs)
                 # FE coeff vectors are flat (nd*Bc,) -> (Bc,) per device;
                 # cellq coeffs are (nd, cpd, ...) -> drop leading axis
-                return self._local_residual(x, cl, consts, dl, bcm[0], bcv[0])
+                cl = {k: (v if v.ndim == 1 else v[0])
+                      for k, v in coeffs_loc.items()}
+                return self._local_residual(x, cl, fcl, consts, dl, fdl,
+                                            bcm[0], bcv[0])
 
             self._jits["residual"] = jax.jit(shard_map(
                 kern, mesh=self.dmesh,
-                in_specs=(P(self.axis), P(self.axis), P(), P(self.axis),
-                          P(self.axis), P(self.axis)),
+                in_specs=(P(self.axis), P(self.axis), P(self.axis), P(),
+                          P(self.axis), P(self.axis), P(self.axis),
+                          P(self.axis)),
                 out_specs=P(self.axis), check_rep=False))
         return self._jits["residual"](
-            x_shard, dict(coeffs or {}), dict(consts or self.consts),
-            self.data_loc, self.bc_mask, self.bc_val)
+            x_shard, dict(coeffs or {}), dict(facet_coeffs or {}),
+            dict(consts or self.consts), self.data_loc,
+            tuple(self.facet_data_loc), self.bc_mask, self.bc_val)
 
-    def jacobian_action(self, x_shard, v_shard, coeffs=None, consts=None):
+    def jacobian_action(self, x_shard, v_shard, coeffs=None, consts=None,
+                        facet_coeffs=None):
         if "jac" not in self._jits:
-            def kern(x, v, coeffs_loc, consts, data, bcm, bcv):
-                dl = jax.tree_util.tree_map(lambda a: a[0], data)
+            def kern(x, v, coeffs_loc, fcoeffs, consts, data, fdatas,
+                     bcm, bcv):
+                dl = self._squeeze0(data)
+                fdl = [self._squeeze0(fd) for fd in fdatas]
+                fcl = self._squeeze0(fcoeffs)
                 cl = {k: (v_ if v_.ndim == 1 else v_[0])
                       for k, v_ in coeffs_loc.items()}
-                return self._local_jac_action(x, v, cl, consts, dl, bcm[0])
+                return self._local_jac_action(x, v, cl, fcl, consts, dl,
+                                              fdl, bcm[0])
 
             self._jits["jac"] = jax.jit(shard_map(
                 kern, mesh=self.dmesh,
-                in_specs=(P(self.axis), P(self.axis), P(self.axis), P(),
-                          P(self.axis), P(self.axis), P(self.axis)),
+                in_specs=(P(self.axis), P(self.axis), P(self.axis),
+                          P(self.axis), P(), P(self.axis), P(self.axis),
+                          P(self.axis), P(self.axis)),
                 out_specs=P(self.axis), check_rep=False))
         return self._jits["jac"](
-            x_shard, v_shard, dict(coeffs or {}), dict(consts or self.consts),
-            self.data_loc, self.bc_mask, self.bc_val)
+            x_shard, v_shard, dict(coeffs or {}), dict(facet_coeffs or {}),
+            dict(consts or self.consts), self.data_loc,
+            tuple(self.facet_data_loc), self.bc_mask, self.bc_val)
 
     def norm(self, v_shard) -> float:
         return float(jnp.linalg.norm(v_shard))
@@ -571,16 +706,19 @@ class DistributedProblem:
         if key in self._jits:
             return self._jits[key]
 
-        def kern(x, coeffs_loc, consts, data, bcm_f, bcv, rtol_, atol_,
-                 ksp_rtol_, ksp_atol_, damping_):
-            dl = jax.tree_util.tree_map(lambda a: a[0], data)
+        def kern(x, coeffs_loc, fcoeffs, consts, data, fdatas, bcm_f, bcv,
+                 rtol_, atol_, ksp_rtol_, ksp_atol_, damping_):
+            dl = self._squeeze0(data)
+            fdl = [self._squeeze0(fd) for fd in fdatas]
+            fcl = self._squeeze0(fcoeffs)
             cl = {k: (v if v.ndim == 1 else v[0])
                   for k, v in coeffs_loc.items()}
             bcm = bcm_f[0] > 0.5
             bcvl = bcv[0]
 
             def res(z):
-                return self._local_residual(z, cl, consts, dl, bcm, bcvl)
+                return self._local_residual(z, cl, fcl, consts, dl, fdl,
+                                            bcm, bcvl)
 
             def pnorm(v):
                 return jnp.sqrt(self._pdot(v, v))
@@ -599,9 +737,10 @@ class DistributedProblem:
                 it, x, F, fn = s
 
                 def Av(v):
-                    return self._local_jac_action(x, v, cl, consts, dl, bcm)
+                    return self._local_jac_action(x, v, cl, fcl, consts,
+                                                  dl, fdl, bcm)
 
-                d = self._local_diagonal(x, cl, consts, dl, bcm)
+                d = self._local_diagonal(x, cl, fcl, consts, dl, fdl, bcm)
                 dinv = jnp.where(jnp.abs(d) > 1e-300, 1.0 / d, 1.0)
                 Minv = jnp.abs(dinv) if ksp == "minres" else dinv
                 solver = self._minres if ksp == "minres" else self._cg
@@ -616,13 +755,16 @@ class DistributedProblem:
 
         jitted = jax.jit(shard_map(
             kern, mesh=self.dmesh,
-            in_specs=(P(self.axis), P(self.axis), P(), P(self.axis),
-                      P(self.axis), P(self.axis), P(), P(), P(), P(), P()),
+            in_specs=(P(self.axis), P(self.axis), P(self.axis), P(),
+                      P(self.axis), P(self.axis), P(self.axis),
+                      P(self.axis), P(), P(), P(), P(), P()),
             out_specs=(P(self.axis), P(), P(), P()), check_rep=False))
 
-        def fn(x_shard, coeffs=None, consts=None):
+        def fn(x_shard, coeffs=None, consts=None, facet_coeffs=None):
             return jitted(x_shard, dict(coeffs or {}),
+                          dict(facet_coeffs or {}),
                           dict(consts or self.consts), self.data_loc,
+                          tuple(self.facet_data_loc),
                           jnp.asarray(np.asarray(self.bc_mask), jnp.float64),
                           self.bc_val, jnp.asarray(rtol), jnp.asarray(atol),
                           jnp.asarray(ksp_rtol), jnp.asarray(ksp_atol),

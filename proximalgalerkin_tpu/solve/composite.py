@@ -102,7 +102,8 @@ class CompositeProblem:
             y = y.at[:self.n_vol].add(
                 jax.jvp(f_vol, (x[:self.n_vol],), (w[:self.n_vol],))[1])
             for ff in self.facet_forms:
-                f_fac = lambda yv: ff._residual_core(yv, fcoeffs, consts)
+                f_fac = lambda yv: ff._jacobian_residual_core(
+                    yv, fcoeffs, consts)
                 y = y + jax.jvp(f_fac, (x,), (w,))[1]
             y = self.zero_bc(y)
             return y.at[self.bc_idx].add(v[self.bc_idx])

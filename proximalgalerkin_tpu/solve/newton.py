@@ -63,11 +63,31 @@ class NewtonSolver:
             return jnp.asarray(dx, F.dtype)
         step = self.problem.direction_solver(
             ksp, pc, str(opts.opt("mat_type", "ell")),
-            schur_field0=opts.opt("pc_schur_field0", None))
+            schur_field0=opts.opt("pc_schur_field0", None),
+            precision=str(opts.opt("ksp_precision", "double")))
+        max_it_k = int(opts.opt("ksp_max_it"))
+        rtol_k = float(opts.opt("ksp_rtol"))
+        atol_k = float(opts.opt("ksp_atol"))
+        # ksp_chunk_it: split one Krylov solve into several bounded device
+        # executions, warm-started from the previous chunk (the axon TPU
+        # runtime kernel-faults on single executions lasting minutes)
+        chunk = int(opts.opt("ksp_chunk_it", 0) or 0)
         with self.timer.phase("linear_solve_krylov"):
-            dx = step(x, F, self.problem.coeffs, self.problem.consts,
-                      float(opts.opt("ksp_rtol")), float(opts.opt("ksp_atol")),
-                      int(opts.opt("ksp_max_it")))
+            if not chunk or chunk >= max_it_k:
+                dx = step(x, F, self.problem.coeffs, self.problem.consts,
+                          rtol_k, atol_k, max_it_k)
+                dx.block_until_ready()
+                return dx
+            Av = self.problem.jacobian_action(x)
+            fnorm = float(jnp.linalg.norm(F))
+            dx = None
+            for _ in range(-(-max_it_k // chunk)):
+                dx = step(x, F, self.problem.coeffs, self.problem.consts,
+                          rtol_k, atol_k, chunk, dx0=dx)
+                rres = float(jnp.linalg.norm(Av(dx) + F))
+                if rres <= max(rtol_k * fnorm, atol_k) or not np.isfinite(
+                        rres):
+                    break
             dx.block_until_ready()
         return dx
 

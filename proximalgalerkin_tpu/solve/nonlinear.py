@@ -85,7 +85,8 @@ class NonlinearProblem:
         return self._ell
 
     def direction_solver(self, ksp: str, pc: str, mat_type: str = "ell",
-                         schur_field0: Optional[str] = None):
+                         schur_field0: Optional[str] = None,
+                         precision: str = "double"):
         """One fused, jitted Newton-direction kernel per option set:
         (x, F, coeffs, consts, rtol, atol, maxiter) -> dx solving
         J(x) dx = -F entirely on device. mat_type 'ell' assembles the
@@ -94,26 +95,34 @@ class NonlinearProblem:
         pc='schur' (requires 'ell' + 'minres') applies the block-Schur
         preconditioner of la/schur.py with block0 = `schur_field0` (the
         invertible-diagonal block; ex40.cpp:261-281 recipe).
+        precision='mixed' (ell+jacobi only) runs the equilibrated inner
+        Krylov in NATIVE f32 wrapped in f64 iterative refinement — the
+        production TPU path (v5e has no native f64; the emulated-f64
+        Krylov loop is ~10x slower and has kernel-faulted on sustained
+        runs), generalizing the P1 obstacle solver's proven scheme
+        (models/obstacle_p1.py).
         Compiled once per shape set — no per-step retracing."""
-        key = (ksp, pc, mat_type, schur_field0)
+        key = (ksp, pc, mat_type, schur_field0, precision)
         if key in self._direction_cache:
             return self._direction_cache[key]
 
-        direction = self._make_direction_fn(ksp, pc, mat_type, schur_field0)
+        direction = self._make_direction_fn(ksp, pc, mat_type, schur_field0,
+                                            precision)
         ell = self.ell_matrix if mat_type == "ell" else None
 
         jitted = jax.jit(direction, static_argnames=("maxiter",))
 
-        def fn(x, F, coeffs, consts, rtol, atol, maxiter):
+        def fn(x, F, coeffs, consts, rtol, atol, maxiter, dx0=None):
             return jitted(x, F, coeffs, consts, rtol, atol, maxiter,
                           self.form.cell_data,
-                          ell.arrays if ell is not None else {})
+                          ell.arrays if ell is not None else {}, dx0)
 
         self._direction_cache[key] = fn
         return fn
 
     def _make_direction_fn(self, ksp: str, pc: str, mat_type: str = "ell",
-                           schur_field0: Optional[str] = None):
+                           schur_field0: Optional[str] = None,
+                           precision: str = "double"):
         """Pure direction-solve body shared by direction_solver and the
         fused Newton kernel: (x, F, coeffs, consts, rtol, atol, maxiter,
         cell_data, ell_arrays) -> dx with J(x) dx = -F."""
@@ -121,6 +130,9 @@ class NonlinearProblem:
         form = self.form
         bc_idx, bc_vals = self.bc_idx, self.bc_vals
         ell = self.ell_matrix if mat_type == "ell" else None
+        if precision == "mixed" and (mat_type != "ell" or pc != "jacobi"):
+            raise ValueError("precision='mixed' requires mat_type='ell' "
+                             "and pc='jacobi'")
 
         m0_np = bc1_np = None
         if pc == "schur":
@@ -136,7 +148,7 @@ class NonlinearProblem:
             bc1_np[bci] = 1.0 - m0_np[bci]
 
         def direction(x, F, coeffs, consts, rtol, atol, maxiter, cell_data,
-                      ell_arrays):
+                      ell_arrays, dx0=None):
             if mat_type == "ell":
                 Ae = form._element_matrices_core(x, coeffs, consts, cell_data)
                 data = ell.assemble(Ae, ell_arrays)
@@ -158,7 +170,7 @@ class NonlinearProblem:
                 Minv = make_schur_pc(ell, data, ell_arrays,
                                      jnp.asarray(m0_np, form.dtype),
                                      jnp.asarray(bc1_np, form.dtype))
-                return kry.minres(Av, b, tol=rtol, atol=atol,
+                return kry.minres(Av, b, x0=dx0, tol=rtol, atol=atol,
                                   maxiter=maxiter, Minv=Minv)
             if pc == "jacobi":
                 if mat_type == "ell":
@@ -166,23 +178,108 @@ class NonlinearProblem:
                 else:
                     d = form._diagonal_core(x, coeffs, consts, cell_data)
                     d = d.at[bc_idx].set(1.0)
-                dinv = jnp.where(jnp.abs(d) > 1e-300, 1.0 / d, 1.0)
-            else:
-                dinv = jnp.ones_like(b)
+                # Symmetric Jacobi EQUILIBRATION: solve (SAS) y = S b with
+                # S = |diag|^{-1/2}, dx = S y. In exact arithmetic this is
+                # two-sided Jacobi preconditioning; operationally it also
+                # keeps every Krylov inner product O(1)-scaled, which the
+                # TPU's emulated f64 requires — LVPP rows span ~alpha*K
+                # (up to 2^14/h^2) against e^{psi} mass terms, and the
+                # squared terms of unscaled CG/BiCGStab overflow its
+                # dynamic range (same failure as models/obstacle_fd.py).
+                s = jnp.where(jnp.abs(d) > 1e-300,
+                              1.0 / jnp.sqrt(jnp.abs(d)), 1.0)
+                sgn = jnp.where(d < 0, -1.0, 1.0)
+
+                def Av_s(v):
+                    return s * Av(s * v)
+
+                if precision == "mixed":
+                    # Equilibrated inner Krylov in native f32 + f64
+                    # iterative refinement (obstacle_p1.py scheme): the
+                    # scaled system has unit diagonal and O(1) rows, so
+                    # f32 solves to ~1e-6 and 2 refinement passes recover
+                    # ~1e-12 directions at native-f32 TPU throughput.
+                    f32 = jnp.float32
+                    data32 = data.astype(f32)
+                    s32 = s.astype(f32)
+                    sgn32 = sgn.astype(f32)
+
+                    def Av_s32(v):
+                        return s32 * ell.spmv(data32, s32 * v, ell_arrays)
+
+                    inner_tol = 2e-6
+
+                    def solve32(r64):
+                        bt = (s * r64).astype(f32)
+                        if ksp in ("minres", "cg"):
+                            # CG on the scaled SPD/symmetric system; for
+                            # indefinite systems minres
+                            if ksp == "minres":
+                                y = kry.minres(Av_s32, bt, tol=inner_tol,
+                                               maxiter=maxiter)
+                            else:
+                                y, _ = jax.scipy.sparse.linalg.cg(
+                                    Av_s32, bt, tol=inner_tol,
+                                    maxiter=maxiter)
+                        elif ksp == "gmres_d":
+                            y = kry.gmres_givens(Av_s32, bt, tol=inner_tol,
+                                                 maxiter=maxiter, restart=60)
+                        elif ksp == "bicgstab":
+                            y, _ = jax.scipy.sparse.linalg.bicgstab(
+                                Av_s32, bt, tol=inner_tol, maxiter=maxiter,
+                                M=lambda v: sgn32 * v)
+                        else:
+                            raise ValueError(
+                                f"mixed precision: unsupported ksp {ksp!r}")
+                        return s * y.astype(jnp.float64)
+
+                    dx = solve32(b) if dx0 is None else dx0
+                    # two f64 refinement passes (residual via f64 SpMV)
+                    for _ in range(2):
+                        r = b - Av(dx)
+                        dx = dx + solve32(r)
+                    return dx
+
+                bs = s * b
+                y0 = None if dx0 is None else dx0 / s
+                if ksp == "minres":
+                    y = kry.minres(Av_s, bs, x0=y0, tol=rtol, atol=atol,
+                                   maxiter=maxiter)
+                elif ksp == "cg":
+                    y, _ = jax.scipy.sparse.linalg.cg(
+                        Av_s, bs, x0=y0, tol=rtol, atol=atol,
+                        maxiter=maxiter)
+                elif ksp == "gmres":
+                    y, _ = jax.scipy.sparse.linalg.gmres(
+                        Av_s, bs, x0=y0, tol=rtol, atol=atol,
+                        maxiter=maxiter, restart=30, solve_method="batched")
+                elif ksp == "gmres_d":
+                    # Givens/MGS restarted GMRES (TPU-robust; la/krylov.py)
+                    y = kry.gmres_givens(Av_s, bs, x0=y0, tol=rtol,
+                                         atol=atol, maxiter=maxiter,
+                                         restart=60)
+                elif ksp == "bicgstab":
+                    # scaled-diagonal sign as preconditioner keeps the
+                    # stabilized recurrence well-behaved on saddle systems
+                    y, _ = jax.scipy.sparse.linalg.bicgstab(
+                        Av_s, bs, x0=y0, tol=rtol, atol=atol,
+                        maxiter=maxiter, M=lambda v: sgn * v)
+                else:
+                    raise ValueError(f"unknown ksp_type {ksp!r}")
+                return s * y
             if ksp == "minres":
-                return kry.minres(Av, b, tol=rtol, atol=atol, maxiter=maxiter,
-                                  Minv_diag=jnp.abs(dinv))
-            M = (lambda v: dinv * v) if pc == "jacobi" else None
+                return kry.minres(Av, b, tol=rtol, atol=atol,
+                                  maxiter=maxiter)
             if ksp == "cg":
                 xs, _ = jax.scipy.sparse.linalg.cg(
-                    Av, b, tol=rtol, atol=atol, maxiter=maxiter, M=M)
+                    Av, b, tol=rtol, atol=atol, maxiter=maxiter)
             elif ksp == "gmres":
                 xs, _ = jax.scipy.sparse.linalg.gmres(
-                    Av, b, tol=rtol, atol=atol, maxiter=maxiter, M=M,
+                    Av, b, tol=rtol, atol=atol, maxiter=maxiter,
                     restart=30, solve_method="batched")
             elif ksp == "bicgstab":
                 xs, _ = jax.scipy.sparse.linalg.bicgstab(
-                    Av, b, tol=rtol, atol=atol, maxiter=maxiter, M=M)
+                    Av, b, tol=rtol, atol=atol, maxiter=maxiter)
             else:
                 raise ValueError(f"unknown ksp_type {ksp!r}")
             return xs

@@ -1,0 +1,143 @@
+"""TPU runs of record for the reference's full-protocol examples.
+
+Each record runs one model at the reference's protocol size with the
+device-resident Krylov path (ELL-assembled MINRES/Jacobi — the
+MUMPS-replacement production solver) on the real chip, and prints ONE
+JSON line with wall-clock + iteration counts. Run one model per process
+(bench.py subprocess-isolation pattern: a faulted TPU runtime must not
+take down the whole record sweep):
+
+    python scripts/tpu_records.py thermoforming [M]
+    python scripts/tpu_records.py gradient [N]
+    python scripts/tpu_records.py signorini2d [res]
+    python scripts/tpu_records.py signorini3d [res]
+    python scripts/tpu_records.py eigenvalue [N]
+    python scripts/tpu_records.py multiphase [N] [steps]
+    python scripts/tpu_records.py monge_ampere [kmax]
+    python scripts/tpu_records.py fracture [steps]
+
+Reference protocols: thermoforming 150^2 (thermoforming_dolfinx.py:56),
+gradient constraint 200^2 (gradient_constraint_dolfinx.py), Signorini
+degree 2 (examples/02_signorini/README.md:28-30), eigenvalue 100^2
+(eigenvalue_constraints_dolfinx.py:41-50), multiphase 50^2 dt=1e-5 to
+T=7e-3, Monge-Ampere k=3..14 (monge_ampere_dolfinx.py:31), fracture 1001
+load steps (fracture_dolfinx.py:207).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+# Solver for runs of record: the models' default "preonly"+"lu" — device
+# (TPU) einsum assembly + host sparse LU, the same architecture as the
+# reference's MUMPS path, with exact directions so LVPP/Newton counts are
+# reference-matching. The all-device Krylov paths exist and are golden-
+# tested (tests/test_krylov.py, test_dofpart.py) but the axon TPU runtime
+# kernel-faults on sustained emulated-f64 Krylov loops, and f32-refined
+# directions stall at ~1e-6 on these condition numbers — documented in
+# RESULTS.md; revisit with GMG/Schur inner preconditioning.
+DEVICE_OPTS = {}
+
+
+def _emit(name, t, extra):
+    print(json.dumps({"record": name, "wall_s": round(t, 2), **extra}),
+          flush=True)
+
+
+def thermoforming(M=150):
+    from proximalgalerkin_tpu.models.thermoforming import solve_thermoforming
+    t0 = time.time()
+    r = solve_thermoforming(M=M, solver_options=dict(DEVICE_OPTS),
+                            verbose=True)
+    _emit(f"thermoforming_{M}", time.time() - t0,
+          {"lvpp": r.lvpp_iterations, "newton": r.total_newton,
+           "converged": bool(r.converged)})
+
+
+def gradient(N=200):
+    from proximalgalerkin_tpu.models.gradient_constraint import (
+        solve_gradient_constraint)
+    t0 = time.time()
+    prob, res = solve_gradient_constraint(
+        N=N, solver_options=dict(DEVICE_OPTS), verbose=True)
+    _emit(f"gradient_constraint_{N}", time.time() - t0,
+          {"lvpp": res.iterations, "newton": int(sum(res.newton_iterations)),
+           "converged": bool(res.converged)})
+
+
+def signorini2d(res=0.04):
+    from proximalgalerkin_tpu.models.signorini import solve_signorini
+    recs = []
+    t0 = time.time()
+    for disp in (-0.10, -0.15, -0.20):
+        r = solve_signorini(res=res, degree=2, disp=disp,
+                            solver_options=dict(DEVICE_OPTS), verbose=True)
+        recs.append({"disp": disp, "lvpp": r.lvpp_iterations,
+                     "newton": int(sum(r.newton_iterations)),
+                     "penetration": float(r.penetrations[-1])})
+    _emit(f"signorini2d_deg2_res{res}", time.time() - t0, {"runs": recs})
+
+
+def signorini3d(res=0.12):
+    from proximalgalerkin_tpu.models.signorini import solve_signorini
+    from proximalgalerkin_tpu.mesh.parametric import create_half_sphere
+    t0 = time.time()
+    r = solve_signorini(tagged=create_half_sphere(res=res), degree=2,
+                        disp=-0.10, solver_options=dict(DEVICE_OPTS),
+                        verbose=True)
+    _emit(f"signorini3d_deg2_res{res}", time.time() - t0,
+          {"lvpp": r.lvpp_iterations,
+           "newton": int(sum(r.newton_iterations)),
+           "penetration": float(r.penetrations[-1])})
+
+
+def eigenvalue(N=100):
+    from proximalgalerkin_tpu.models.eigenvalue_constraints import (
+        solve_eigenvalue_constraints)
+    t0 = time.time()
+    r = solve_eigenvalue_constraints(N=N, verbose=True)
+    lo, hi = r.eigenvalue_range()
+    _emit(f"eigenvalue_{N}", time.time() - t0,
+          {"lvpp": int(r.lvpp.iterations),
+           "newton": int(sum(r.lvpp.newton_iterations)),
+           "lam_min": float(lo), "lam_max": float(hi)})
+
+
+def multiphase(N=50, steps=None):
+    from proximalgalerkin_tpu.models.multiphase import solve_multiphase
+    dt = 1e-5
+    T = 7e-3 if steps is None else steps * dt
+    t0 = time.time()
+    r = solve_multiphase(N=N, M=N, tau0=dt, T=T, verbose=True)
+    _emit(f"multiphase_{N}", time.time() - t0,
+          {"steps": len(r.newton_iterations),
+           "newton": int(sum(r.newton_iterations))})
+
+
+def monge_ampere(kmax=14):
+    from proximalgalerkin_tpu.models.monge_ampere import p_refinement_sweep
+    t0 = time.time()
+    r = p_refinement_sweep(kmin=3, kmax=kmax, verbose=True)
+    _emit(f"monge_ampere_k{kmax}", time.time() - t0,
+          {"errors": [float(e) for e in np.asarray(r.errors).ravel()]
+           if hasattr(r, "errors") else str(r)})
+
+
+def fracture(steps=1001):
+    from proximalgalerkin_tpu.models.fracture import solve_fracture
+    t0 = time.time()
+    r = solve_fracture(num_load_steps=steps, Tmax=5.0, verbose=True)
+    _emit(f"fracture_{steps}", time.time() - t0,
+          {"newton": int(sum(r.newton_per_step)),
+           "max_damage": float(max(r.max_damage_history or [0.0])),
+           "broken": bool(r.broken)})
+
+
+if __name__ == "__main__":
+    which = sys.argv[1]
+    args = [float(a) if "." in a else int(a) for a in sys.argv[2:]]
+    globals()[which](*args)

@@ -182,3 +182,34 @@ def test_quadratic_geometry_disk():
     err_lin = abs(form_area(create_disk_mesh(0.15)) - np.pi)
     err_quad = abs(form_area(create_disk_mesh_quadratic(0.15)) - np.pi)
     assert err_quad < err_lin / 100
+
+
+def test_element_matrices_chunked_matches_unchunked(monkeypatch):
+    """Chunked (lax.map) element-matrix assembly is exact: same matrices
+    as the single-block path, including the tail block and raw
+    quadrature-point coefficients."""
+    import jax.numpy as jnp
+    from proximalgalerkin_tpu.assembly.assemble import VolumeForm
+    from proximalgalerkin_tpu.mesh import rectangle_mesh
+    from proximalgalerkin_tpu.spaces import FunctionSpace, MixedSpace
+
+    mesh = rectangle_mesh(7, 5)     # 70 cells: 2 full chunks of 32 + tail
+    V = FunctionSpace.create(mesh, 1)
+    space = MixedSpace([("u", V), ("psi", V)])
+
+    def residual(x, u, gu, c, gc, consts):
+        return {"u": (u["psi"] - c["q"], consts["a"] * gu["u"]),
+                "psi": (u["u"] - jnp.exp(u["psi"]), None)}
+
+    form = VolumeForm(space, residual, 3)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(space.num_dofs))
+    coeffs = {"q": jnp.asarray(rng.standard_normal(
+        (mesh.num_cells, form.nq)))}
+    consts = {"a": jnp.asarray(2.5)}
+
+    ref = np.asarray(form.element_matrices(x, coeffs, consts))
+    monkeypatch.setattr(VolumeForm, "ELEMENT_MATRIX_CHUNK", 32)
+    form2 = VolumeForm(space, residual, 3)
+    chunked = np.asarray(form2.element_matrices(x, coeffs, consts))
+    assert np.abs(chunked - ref).max() < 1e-14

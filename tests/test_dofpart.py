@@ -119,3 +119,136 @@ def test_fused_newton_lvpp_matches_single_device():
         its_d.append(int(nit))
     assert its_d == its_ref
     assert np.max(np.abs(dp.gather(xs) - x_ref)) < 1e-10
+
+
+def _signorini_problem(res=0.05):
+    """Small Signorini composite problem (volume elasticity + contact
+    facet leg with a TraceSpace latent) — the mixed-dimensional structure
+    of signorini_dolfinx.py:199-291."""
+    from proximalgalerkin_tpu.mesh.parametric import create_half_disk
+    from proximalgalerkin_tpu.spaces.trace import TraceSpace
+    from proximalgalerkin_tpu.assembly import VolumeForm
+    from proximalgalerkin_tpu.assembly.facets import FacetForm
+    from proximalgalerkin_tpu.solve.composite import CompositeProblem
+    from proximalgalerkin_tpu.spaces import DirichletBC, FunctionSpace, \
+        MixedSpace
+
+    tagged = create_half_disk(res=res)
+    mesh = tagged.mesh
+    gdim = mesh.gdim
+    contact = tagged.facets("contact")
+    disp_f = tagged.facets("displacement")
+    Vu = FunctionSpace.create(mesh, 1, value_size=gdim)
+    trace = TraceSpace(FunctionSpace.create(mesh, 1), contact)
+    space_vol = MixedSpace([("u", Vu)])
+    space_all = MixedSpace([("u", Vu), ("psi", trace)])
+    E, nu, gap = 2e4, 0.3, 0.02
+    mu = E / (2 * (1 + nu))
+    lmbda = E * nu / ((1 + nu) * (1 - 2 * nu))
+    n_g = np.zeros(gdim)
+    n_g[-1] = -1.0
+    n_g_j = jnp.asarray(n_g)
+
+    def vol_residual(x, u, gu, c, gc, consts):
+        eps_u = 0.5 * (gu["u"] + gu["u"].T)
+        sigma = 2 * mu * eps_u + lmbda * jnp.trace(eps_u) * jnp.eye(gdim)
+        return {"u": (None, consts["alpha"] * sigma)}
+
+    def facet_residual(x, u, gu, c, gc, n, consts):
+        g = x[gdim - 1] - gap
+        un = jnp.dot(u["u"], n_g_j)
+        return {"u": -(u["psi"] - c["psi_k"]) * n_g_j,
+                "psi": -(un + jnp.exp(jnp.minimum(u["psi"], 45.0)) - g)}
+
+    def facet_jacobian(x, u, gu, c, gc, n, consts):
+        out = facet_residual(x, u, gu, c, gc, n, consts)
+        out["psi"] = out["psi"] - 1e-8 * u["psi"]
+        return out
+
+    vol_form = VolumeForm(space_vol, vol_residual, 4)
+    facet_form = FacetForm(space_all, contact, facet_residual, 4,
+                           jacobian_fn=facet_jacobian)
+    disp_dofs = Vu.facet_closure_dofs(disp_f)
+    disp_vals = np.zeros(len(disp_dofs))
+    disp_vals[np.asarray(disp_dofs) % gdim == gdim - 1] = -0.1
+    bcs = [DirichletBC("u", disp_dofs, disp_vals)]
+    p = CompositeProblem(space_all, vol_form, [facet_form], bcs,
+                         consts={"alpha": jnp.asarray(0.005)})
+    return p, space_all, facet_form
+
+
+def test_signorini_composite_residual_jacobian_parity():
+    p, space_all, facet_form = _signorini_problem()
+    N = space_all.num_dofs
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(N) * 0.01
+    nfac, nq = facet_form.facet_data["wdet"].shape
+    psi_k_q = rng.standard_normal((nfac, nq)) * 0.01
+    p.update(facet_coeffs={"psi_k": jnp.asarray(psi_k_q)})
+    F_ref = np.asarray(p.residual(jnp.asarray(x)))
+
+    dp = DistributedProblem(p)
+    xs = dp.scatter(x)
+    fc = {"psi_k": dp.scatter_facetq(psi_k_q)}
+    F_d = dp.gather(dp.residual(xs, facet_coeffs=fc))
+    scale = max(1.0, np.abs(F_ref).max())
+    assert np.abs(F_d - F_ref).max() / scale < 1e-12
+
+    A = p.jacobian_scipy(jnp.asarray(x))
+    v = rng.standard_normal(N)
+    Jv_d = dp.gather(dp.jacobian_action(xs, dp.scatter(v), facet_coeffs=fc))
+    scale = max(1.0, np.abs(A @ v).max())
+    assert np.abs(Jv_d - A @ v).max() / scale < 1e-10
+
+
+def test_signorini_composite_newton_partition_independent():
+    """Distributed fused Newton on the composite Signorini system is
+    partition-independent (8 devices == 1 device) and follows the host
+    LU trajectory (identical Newton counts over 2 LVPP outers)."""
+    from proximalgalerkin_tpu.core.config import SolverOptions
+    from proximalgalerkin_tpu.solve.newton import NewtonSolver
+
+    p, space_all, facet_form = _signorini_problem()
+    tab_psi = np.asarray(facet_form.facet_data["tab"]["psi"])
+    gidx_psi = np.asarray(facet_form.facet_data["gather_idx"]["psi"])
+
+    def psi_k_quad(x_k):
+        zc = np.asarray(x_k)[gidx_psi[:, :, 0]]
+        return np.einsum("nqi,ni->nq", tab_psi, zc)
+
+    opts_lu = SolverOptions({
+        "snes_linesearch_type": "none", "snes_rtol": 1e-6,
+        "snes_atol": 1e-50, "snes_max_it": 50,
+        "ksp_type": "preonly", "pc_type": "lu"})
+    xh = jnp.asarray(space_all.zeros())
+    alpha = 0.005
+    its_ref = []
+    for k in range(2):
+        p.update(facet_coeffs={"psi_k": jnp.asarray(psi_k_quad(xh))},
+                 consts={"alpha": jnp.asarray(alpha)})
+        r = NewtonSolver(p, opts_lu).solve(xh)
+        assert r.converged
+        xh = r.x
+        its_ref.append(r.iterations)
+        alpha *= 2
+    x_ref = np.asarray(xh)
+
+    def run_dist(dpx):
+        newton_d = dpx.newton_solver(ksp="minres", rtol=1e-6, max_it=50,
+                                     ksp_rtol=1e-12, ksp_max_it=8000)
+        xs = dpx.scatter(space_all.zeros())
+        a = 0.005
+        its = []
+        for k in range(2):
+            fc = {"psi_k": dpx.scatter_facetq(psi_k_quad(dpx.gather(xs)))}
+            xs, nit, fn, f0 = newton_d(xs, facet_coeffs=fc,
+                                       consts={"alpha": jnp.asarray(a)})
+            its.append(int(nit))
+            a *= 2
+        return dpx.gather(xs), its
+
+    x8, its8 = run_dist(DistributedProblem(p))
+    x1, its1 = run_dist(DistributedProblem(p, devices=[jax.devices()[0]]))
+    assert its8 == its1 == its_ref
+    assert np.abs(x8 - x1).max() < 1e-9
+    assert np.abs(x8 - x_ref).max() < 1e-5

@@ -46,3 +46,17 @@ def test_minres_matfree_matches_lu(solved):
     assert res.converged
     assert res.lvpp_iterations == solved.lvpp_iterations
     assert np.abs(np.asarray(res.u) - np.asarray(solved.u)).max() < 1e-6
+
+
+def test_eikonal_schur_minres_matches_lu_counts():
+    """The block-Schur MINRES default (la/schur.py, the ex40.cpp:261-281
+    recipe) reproduces the LU path's outer/Newton counts exactly."""
+    from proximalgalerkin_tpu.models.eikonal import solve_eikonal
+    r_lu = solve_eikonal(ns=16, nt=3, verbose=False)
+    r_sc = solve_eikonal(ns=16, nt=3, verbose=False,
+                         solver_options={"ksp_type": "minres",
+                                         "ksp_rtol": 1e-10,
+                                         "ksp_atol": 1e-12,
+                                         "ksp_max_it": 3000})
+    assert r_sc.converged
+    assert r_sc.newton_iterations == r_lu.newton_iterations
