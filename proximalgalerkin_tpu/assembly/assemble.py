@@ -230,6 +230,17 @@ class VolumeForm:
 
     def _residual_core(self, x, coeffs, consts, data=None, out_size=None):
         data = self.cell_data if data is None else data
+        main, tail = self._chunked_cells(
+            lambda c, d: self._residual_block(x, c, consts, d, out_size),
+            coeffs, data, self.RESIDUAL_CHUNK)
+        out = 0.0
+        if main is not None:
+            out = jnp.sum(main, axis=0)
+        if tail is not None:
+            out = out + tail
+        return out
+
+    def _residual_block(self, x, coeffs, consts, data, out_size=None):
         x = jnp.asarray(x, self.dtype)
         vals, grads = {}, {}
         for f in self.space.names:
@@ -271,6 +282,17 @@ class VolumeForm:
         if self.jacobian_fn is None:
             return self._residual_core(x, coeffs, consts, data, out_size)
         data = self.cell_data if data is None else data
+        main, tail = self._chunked_cells(
+            lambda c, d: self._jacres_block(x, c, consts, d, out_size),
+            coeffs, data, self.RESIDUAL_CHUNK)
+        out = 0.0
+        if main is not None:
+            out = jnp.sum(main, axis=0)
+        if tail is not None:
+            out = out + tail
+        return out
+
+    def _jacres_block(self, x, coeffs, consts, data, out_size=None):
         x = jnp.asarray(x, self.dtype)
         vals, grads = {}, {}
         for f in self.space.names:
@@ -305,23 +327,25 @@ class VolumeForm:
 
     # ------------------------------------------------- element matrices
 
-    # cells per block for chunked element-matrix assembly: the jacfwd
-    # einsums materialize (cells, nq, nl, m, d, m, d)-shaped intermediates;
-    # unchunked at ~10k cells x 36 qpoints XLA's peak estimate exceeded
-    # TPU HBM (observed 27.7G at the 80^2 gradient-constraint mesh).
+    # Cell-block sizes for chunked assembly (lax.map over blocks): the
+    # batched einsums materialize (cells, nq, ...)-shaped intermediates
+    # that exceed the v5e's 16G HBM on large meshes — observed 27.7G for
+    # the jacfwd element matrices and >16G for the plain residual at the
+    # 80^2 x qdeg-10 gradient-constraint mesh. Chunking bounds the
+    # working set at identical results (tests/test_assembly.py).
     ELEMENT_MATRIX_CHUNK = 2048
+    RESIDUAL_CHUNK = 16384
 
-    def _element_matrices_core(self, x, coeffs, consts, data=None):
-        """Full mixed element matrices (e, L, L), L = sum_f nl_f * m_f,
-        local ordering = fields in space order, each (i, comp) interleaved.
-        Large meshes are processed in cell blocks via lax.map to bound the
-        jacfwd-einsum working set."""
-        data = self.cell_data if data is None else data
+    def _chunked_cells(self, block_fn, coeffs, data, chunk):
+        """Run block_fn(coeffs_block, data_block) over cell blocks.
+        Returns (stacked_main | None, tail_out | None): full blocks are
+        evaluated under jax.lax.map (stacked on a leading axis), the
+        remainder directly. FE-coefficient vectors pass through whole;
+        per-cell quadrature coefficient arrays are sliced with the data.
+        """
         e = data["wdet"].shape[0]
-        CH = self.ELEMENT_MATRIX_CHUNK
-        if e <= CH:
-            return self._element_matrices_block(x, coeffs, consts, data)
-
+        if e <= chunk:
+            return None, block_fn(dict(coeffs or {}), data)
         raw = {k: v for k, v in (coeffs or {}).items()
                if k not in self.coeff_tab}
         fe = {k: v for k, v in (coeffs or {}).items() if k in self.coeff_tab}
@@ -335,26 +359,35 @@ class VolumeForm:
                  for k, v in raw.items()}
             return d, r
 
-        nfull = e // CH
-        stacked_d, stacked_r = None, None
-        parts = []
+        nfull = e // chunk
+        main = None
         if nfull:
-            blocks = [slice_tree(i * CH, CH) for i in range(nfull)]
+            blocks = [slice_tree(i * chunk, chunk) for i in range(nfull)]
             stacked = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs), *blocks)
-
-            def fn(dr):
-                d, r = dr
-                return self._element_matrices_block(
-                    x, {**fe, **r}, consts, d)
-
-            main = jax.lax.map(fn, stacked)
-            parts.append(main.reshape((-1,) + main.shape[2:]))
-        tail = e - nfull * CH
+            main = jax.lax.map(
+                lambda dr: block_fn({**fe, **dr[1]}, dr[0]), stacked)
+        tail = e - nfull * chunk
+        tail_out = None
         if tail:
-            d, r = slice_tree(nfull * CH, tail)
-            parts.append(self._element_matrices_block(
-                x, {**fe, **r}, consts, d))
+            d, r = slice_tree(nfull * chunk, tail)
+            tail_out = block_fn({**fe, **r}, d)
+        return main, tail_out
+
+    def _element_matrices_core(self, x, coeffs, consts, data=None):
+        """Full mixed element matrices (e, L, L), L = sum_f nl_f * m_f,
+        local ordering = fields in space order, each (i, comp) interleaved.
+        Large meshes are processed in cell blocks via lax.map to bound the
+        jacfwd-einsum working set."""
+        data = self.cell_data if data is None else data
+        main, tail = self._chunked_cells(
+            lambda c, d: self._element_matrices_block(x, c, consts, d),
+            coeffs, data, self.ELEMENT_MATRIX_CHUNK)
+        parts = []
+        if main is not None:
+            parts.append(main.reshape((-1,) + main.shape[2:]))
+        if tail is not None:
+            parts.append(tail)
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
     def _element_matrices_block(self, x, coeffs, consts, data):
@@ -439,6 +472,17 @@ class VolumeForm:
         O(ncells * nq * m^2 * d^2) memory, the Jacobi-preconditioner path
         for large (1M-DoF) systems."""
         data = self.cell_data if data is None else data
+        main, tail = self._chunked_cells(
+            lambda c, d: self._diagonal_block(x, c, consts, d, out_size),
+            coeffs, data, self.ELEMENT_MATRIX_CHUNK)
+        out = 0.0
+        if main is not None:
+            out = jnp.sum(main, axis=0)
+        if tail is not None:
+            out = out + tail
+        return out
+
+    def _diagonal_block(self, x, coeffs, consts, data, out_size=None):
         x = jnp.asarray(x, self.dtype)
         vals, grads = {}, {}
         for f in self.space.names:

@@ -65,6 +65,11 @@ def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="proximalgalerkin_tpu",
         description="TPU-native LVPP solver framework — reference examples")
+    parser.add_argument(
+        "--opt", action="append", metavar="KEY=VALUE", default=[],
+        help="solver option passthrough (PETSc-style names, e.g. "
+             "--opt ksp_type=minres --opt pc_type=schur); repeatable, "
+             "place before the subcommand")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     _add_obstacle(sub)
@@ -138,6 +143,17 @@ def main(argv=None):
 
     args = parser.parse_args(argv)
 
+    def _coerce(v):
+        for cast in (int, float):
+            try:
+                return cast(v)
+            except ValueError:
+                pass
+        return {"true": True, "false": False}.get(v.lower(), v)
+
+    cli_opts = dict(kv.split("=", 1) for kv in args.opt) if args.opt else {}
+    cli_opts = {k: _coerce(v) for k, v in cli_opts.items()} or None
+
     if args.cmd == "obstacle":
         _run_obstacle(args)
     elif args.cmd == "obstacle-fd":
@@ -160,13 +176,14 @@ def main(argv=None):
         r = solve_signorini(res=args.res, degree=args.degree, disp=args.disp,
                             E=args.E, nu=args.nu,
                             alpha_scheme=args.alpha_scheme,
-                            alpha_0=args.alpha_0)
+                            alpha_0=args.alpha_0, solver_options=cli_opts)
         print(f"LVPP {r.lvpp_iterations}, Newton {sum(r.newton_iterations)}, "
               f"final penetration {r.penetrations[-1]:.3e}")
     elif args.cmd == "fracture":
         from .models.fracture import solve_fracture
         r = solve_fracture(max_res=args.res, Tmin=args.Tmin, Tmax=args.Tmax,
-                           num_load_steps=args.num_load_steps)
+                           num_load_steps=args.num_load_steps,
+                           solver_options=cli_opts)
         print(f"steps {len(r.load_history)} broken={r.broken}")
     elif args.cmd == "multiphase":
         from .models.multiphase import solve_multiphase
@@ -177,7 +194,7 @@ def main(argv=None):
         print("LVPP iterations:", r.lvpp_iterations)
     elif args.cmd == "thermoforming":
         from .models.thermoforming import solve_thermoforming
-        r = solve_thermoforming(M=args.M)
+        r = solve_thermoforming(M=args.M, solver_options=cli_opts)
         print(f"Total LVPP {r.lvpp_iterations}, Newton {r.total_newton}")
         if args.compare:
             from .models.thermoforming_compare import (
@@ -194,12 +211,13 @@ def main(argv=None):
         prob, r = solve_gradient_constraint(
             N=args.N, M=args.M, primal_degree=args.primal_degree,
             alpha_scheme=args.alpha_scheme, warm_start=args.warm_start,
-            stopping_tol=args.stopping_tol)
+            stopping_tol=args.stopping_tol, solver_options=cli_opts)
         print(f"Number of LVPP iterations {r.iterations}")
         print(f"Total number of Newton iterations: {r.total_newton}")
     elif args.cmd == "eigenvalue":
         from .models.eigenvalue_constraints import solve_eigenvalue_constraints
-        r = solve_eigenvalue_constraints(N=args.N, degree=args.degree)
+        r = solve_eigenvalue_constraints(N=args.N, degree=args.degree,
+                                 solver_options=cli_opts)
         lo, hi = r.eigenvalue_range()
         print(f"#LVPP {r.lvpp.iterations} #Newton {r.lvpp.total_newton} "
               f"eig range [{lo:.4f}, {hi:.4f}]")
@@ -210,7 +228,8 @@ def main(argv=None):
         print(f"num_newton_iterations={r.newton_iterations}")
     elif args.cmd == "eikonal":
         from .models.eikonal import solve_eikonal
-        r = solve_eikonal(ns=args.ns, nt=args.nt)
+        r = solve_eikonal(ns=args.ns, nt=args.nt,
+                  solver_options=cli_opts)
         print(f"LVPP {r.lvpp_iterations} Newton {r.total_newton}")
     elif args.cmd == "monge-ampere":
         from .models.monge_ampere import p_refinement_sweep

@@ -209,7 +209,14 @@ def test_element_matrices_chunked_matches_unchunked(monkeypatch):
     consts = {"a": jnp.asarray(2.5)}
 
     ref = np.asarray(form.element_matrices(x, coeffs, consts))
+    ref_F = np.asarray(form.residual(x, coeffs, consts))
+    ref_d = np.asarray(form.jacobian_diagonal(x, coeffs, consts))
     monkeypatch.setattr(VolumeForm, "ELEMENT_MATRIX_CHUNK", 32)
+    monkeypatch.setattr(VolumeForm, "RESIDUAL_CHUNK", 32)
     form2 = VolumeForm(space, residual, 3)
     chunked = np.asarray(form2.element_matrices(x, coeffs, consts))
     assert np.abs(chunked - ref).max() < 1e-14
+    F2 = np.asarray(form2.residual(x, coeffs, consts))
+    assert np.abs(F2 - ref_F).max() < 1e-13
+    d2 = np.asarray(form2.jacobian_diagonal(x, coeffs, consts))
+    assert np.abs(d2 - ref_d).max() < 1e-13
