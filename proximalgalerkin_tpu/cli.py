@@ -136,7 +136,7 @@ def main(argv=None):
 
     p = _add_simple(sub, "monge-ampere", "Example 10")
     p.add_argument("--kmin", type=int, default=3)
-    p.add_argument("--kmax", type=int, default=8)
+    p.add_argument("--kmax", type=int, default=14)
 
     p = _add_simple(sub, "bench", "north-star benchmark")
     p.add_argument("-n", type=int, default=1024)

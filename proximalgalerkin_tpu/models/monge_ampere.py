@@ -126,7 +126,7 @@ def solve_monge_ampere_degree(degree: int, mesh=None,
     return space, res.x, res.iterations, L2_err, mesh
 
 
-def p_refinement_sweep(kmin: int = 3, kmax: int = 8,
+def p_refinement_sweep(kmin: int = 3, kmax: int = 14,
                        verbose: bool = True) -> MongeAmpereResult:
     """The reference's degree sweep with warm starts (:31,100-110)."""
     mesh = rectangle_mesh(2, 2, p0=(-1.0, -1.0), p1=(1.0, 1.0))

@@ -405,15 +405,39 @@ class NonlinearProblem:
         return fn
 
     def jacobian_scipy(self, x):
-        """Assembled CSR with bc rows/cols zeroed and unit diagonal."""
+        """Assembled CSR with bc rows/cols zeroed and unit diagonal.
+
+        Uses the ELL pattern's precomputed sorted-unique (row, col) slots:
+        one scatter-add of the element-matrix entries straight into CSR
+        data (the COO->CSR sort at 36M nnz cost ~36 s per Newton step at
+        the 100^2 deg-3 eigenvalue system; this path is ~1 s)."""
         import scipy.sparse as sp
-        A = self.form.assemble_scipy(x, self.coeffs, self.consts).tolil()
-        idx = np.asarray(self.bc_idx)
-        if len(idx):
-            A[idx, :] = 0.0
-            A[:, idx] = 0.0
-            A[idx, idx] = 1.0
-        return A.tocsr()
+        from ..native import scatter_add
+        ell = self.ell_matrix
+        pat = ell.pattern
+        Ae = np.asarray(self.form.element_matrices(x, self.coeffs,
+                                                   self.consts))
+        data = scatter_add(Ae.reshape(-1).astype(np.float64),
+                           pat.slot_map.astype(np.int64), pat.nnz)
+        data = data * pat.keep + pat.diag_ones
+        N = pat.num_dofs
+        # slots are sorted by (row, col): build CSR arrays directly
+        if not hasattr(self, "_csr_struct"):
+            rows = np.repeat(self.form.local_indices,
+                             self.form.local_indices.shape[1],
+                             axis=1).reshape(-1)
+            cols = np.tile(self.form.local_indices,
+                           (1, self.form.local_indices.shape[1])).reshape(-1)
+            key = rows.astype(np.int64) * N + cols.astype(np.int64)
+            uniq = np.unique(key)
+            urow = (uniq // N).astype(np.int64)
+            ucol = (uniq % N).astype(np.int32)
+            indptr = np.zeros(N + 1, dtype=np.int64)
+            np.add.at(indptr, urow + 1, 1)
+            np.cumsum(indptr, out=indptr)
+            self._csr_struct = (ucol, indptr)
+        ucol, indptr = self._csr_struct
+        return sp.csr_matrix((data, ucol, indptr), shape=(N, N))
 
     def jacobian_diagonal(self, x):
         d = self.form.jacobian_diagonal(x, self.coeffs, self.consts)

@@ -32,6 +32,14 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+try:
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      str(__import__("pathlib").Path(".jax_cache").resolve()))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
+
 # Solver for runs of record: the models' default "preonly"+"lu" — device
 # (TPU) einsum assembly + host sparse LU, the same architecture as the
 # reference's MUMPS path, with exact directions so LVPP/Newton counts are
