@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..elements.quadrature import cell_quadrature
-from ..spaces.space import FunctionSpace, MixedSpace
+from ..spaces.space import MixedSpace
 from .geometry import cell_geometry
 
 

@@ -14,15 +14,25 @@ COLAMD if the symmetric ordering fails (nonsquare/degenerate patterns).
 from __future__ import annotations
 
 import numpy as np
-import scipy.sparse as sp
 import scipy.sparse.linalg as spla
 
 
+_mmd_ok = True
+
+
 def _splu(A_csc):
-    try:
-        return spla.splu(A_csc, permc_spec="MMD_AT_PLUS_A")
-    except Exception:
-        return spla.splu(A_csc)
+    # MMD halves fill on most LVPP systems but its elimination-order
+    # memory estimate can EXCEED COLAMD's on wide-stencil blocks (observed
+    # OOM on the 200^2 qdeg-10 gradient-constraint Jacobian where COLAMD
+    # factored fine) — after one failure, stick to COLAMD for the process
+    # rather than re-paying the failed attempt every Newton step.
+    global _mmd_ok
+    if _mmd_ok:
+        try:
+            return spla.splu(A_csc, permc_spec="MMD_AT_PLUS_A")
+        except Exception:
+            _mmd_ok = False
+    return spla.splu(A_csc)
 
 
 def lu_solve(A_csr, b: np.ndarray) -> np.ndarray:

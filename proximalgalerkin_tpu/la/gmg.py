@@ -29,12 +29,8 @@ Measured (129x129, f64, rtol 1e-10 PCG):
 
 from __future__ import annotations
 
-from functools import partial
-from typing import List, Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def stencil_apply(u, alpha, m2d, free):

@@ -14,7 +14,7 @@ from __future__ import annotations
 from typing import Callable
 
 import numpy as np
-from scipy.spatial import Delaunay, cKDTree
+from scipy.spatial import cKDTree
 
 from .mesh import Mesh
 from .unstructured import TaggedMesh, _build, _hex_lattice, _tag_boundary

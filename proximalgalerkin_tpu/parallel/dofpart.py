@@ -49,8 +49,6 @@ from jax.sharding import Mesh as DeviceMesh
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from ..solve.nonlinear import NonlinearProblem
-
 
 # ----------------------------------------------------------- host-side setup
 

@@ -13,7 +13,6 @@ from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
-import scipy.sparse as sp
 import scipy.sparse.linalg as spla
 
 from ..core.config import SolverOptions
