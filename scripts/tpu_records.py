@@ -73,7 +73,7 @@ def gradient(N=200):
     prob, res = solve_gradient_constraint(
         N=N, solver_options=dict(DEVICE_OPTS), verbose=True)
     _emit(f"gradient_constraint_{N}", time.time() - t0,
-          {"lvpp": res.iterations, "newton": int(sum(res.newton_iterations)),
+          {"lvpp": res.iterations, "newton": int(sum(res.newton_steps)),
            "converged": bool(res.converged)})
 
 
@@ -111,7 +111,7 @@ def eigenvalue(N=100):
     lo, hi = r.eigenvalue_range()
     _emit(f"eigenvalue_{N}", time.time() - t0,
           {"lvpp": int(r.lvpp.iterations),
-           "newton": int(sum(r.lvpp.newton_iterations)),
+           "newton": int(sum(r.lvpp.newton_steps)),
            "lam_min": float(lo), "lam_max": float(hi)})
 
 
