@@ -135,10 +135,11 @@ def monge_ampere(kmax=14):
            if hasattr(r, "errors") else str(r)})
 
 
-def fracture(steps=1001):
+def fracture(steps=1001, res=0.05):
     from proximalgalerkin_tpu.models.fracture import solve_fracture
     t0 = time.time()
-    r = solve_fracture(num_load_steps=steps, Tmax=5.0, verbose=True)
+    r = solve_fracture(num_load_steps=steps, Tmax=5.0, max_res=res,
+                       verbose=True)
     _emit(f"fracture_{steps}", time.time() - t0,
           {"newton": int(sum(r.newton_per_step)),
            "max_damage": float(max(r.max_damage_history or [0.0])),
