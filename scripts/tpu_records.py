@@ -33,7 +33,12 @@ import numpy as np
 sys.path.insert(0, ".")
 
 try:
+    import os
     import jax
+    if os.environ.get("PGTPU_PLATFORM"):
+        # the axon plugin ignores JAX_PLATFORMS; config update before any
+        # backend init is the reliable pin (tests/conftest.py note)
+        jax.config.update("jax_platforms", os.environ["PGTPU_PLATFORM"])
     jax.config.update("jax_compilation_cache_dir",
                       str(__import__("pathlib").Path(".jax_cache").resolve()))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
