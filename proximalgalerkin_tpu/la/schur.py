@@ -105,14 +105,23 @@ def make_schur_pc(ell, data, arrays, m0, bc1, *, cheb_steps: int = 4,
     diagA = ell.diagonal(data, arrays)
     d0 = m0 * diagA + m1                       # 1.0 off-block: safe divide
     dinv0 = jnp.where(jnp.abs(d0) > 1e-300, 1.0 / d0, 1.0)
+    # Orientation: with block0 diagonal POSITIVE (eikonal's Hellinger-
+    # derivative mass), S~ = A10 d0^-1 A01 - A11 is the SPD Schur (A11
+    # <= 0 there); with block0 NEGATIVE (gradient constraint writes its
+    # latent row as grad u - map, so J_psi,psi = -dmap), the SPD Schur is
+    # the negation A11 - A10 d0^-1 A01 = A11 + A10 |d0|^-1 A01. One
+    # dominant-sign flip covers both.
+    s0 = jnp.sign(jnp.sum(m0 * diagA))
+    s0 = jnp.where(s0 == 0, 1.0, s0)
 
     def Sv(v):
         t = ell.spmv(data, m1 * v, arrays)     # A01 v1 (block0 rows of t)
         t0 = m0 * t * dinv0
         s = m1 * ell.spmv(data, t0, arrays)    # A10 d0^{-1} A01 v1
-        return s - m1 * t + 2.0 * bc1 * v      # - A11 v1, bc sign fix
+        return s0 * (s - m1 * t) + 2.0 * bc1 * v   # -A11 v1, bc sign fix
 
-    dS = schur_diag(ell, data, arrays, m0, dinv0, bc1)
+    dS = s0 * schur_diag(ell, data, arrays, m0, dinv0, jnp.zeros_like(bc1)) \
+        + 2.0 * bc1
     dS_safe = jnp.where(jnp.abs(dS) > 1e-300, dS, 1.0)
     dinvS = m1 / dS_safe
     lmax = 1.1 * _power_lmax(Sv, dinvS, m1, power_iters)
