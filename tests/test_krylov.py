@@ -142,3 +142,40 @@ def test_fused_newton_matches_host_loop_obstacle_p2():
     its_f, xf = run(True)
     assert its_h == its_f
     assert np.max(np.abs(xh - xf)) < 1e-9
+
+
+def test_schur_negative_block_orientation_gradient_constraint():
+    """Block-Schur must orient itself by the block0 diagonal sign: the
+    gradient-constraint latent row (grad u - map) has a NEGATIVE block
+    diagonal, where the unoriented Schur operator was negative definite
+    and MINRES aborted at iteration 1 (la/schur.py)."""
+    from proximalgalerkin_tpu.models.gradient_constraint import (
+        setup_gradient_constraint)
+    from proximalgalerkin_tpu.la.schur import make_schur_pc
+
+    prob = setup_gradient_constraint(N=8, verbose=False)
+    p = prob.solver.problem
+    form = p.form
+    for k in form.coeff_spaces:
+        if k not in p.coeffs:
+            p.coeffs[k] = jnp.zeros(form.coeff_spaces[k].num_dofs)
+    x = jnp.asarray(p.set_bc(prob.space.zeros()))
+    F = p.residual(x)
+    ell = p.ell_matrix
+    Ae = form.element_matrices(x, p.coeffs, p.consts)
+    data = ell.assemble(Ae)
+    N = prob.space.num_dofs
+    m0 = np.zeros(N)
+    m0[prob.space.slice_of("psi")] = 1.0
+    bc1 = np.zeros(N)
+    bci = np.asarray(p.bc_idx)
+    bc1[bci] = 1.0 - m0[bci]
+    Minv = make_schur_pc(ell, data, ell.arrays, jnp.asarray(m0),
+                         jnp.asarray(bc1), cheb_steps=8)
+    b = -F
+    xs, rn, its = minres_info(lambda v: ell.spmv(data, v), b,
+                              tol=1e-10, maxiter=5000, Minv=Minv)
+    rel = float(jnp.linalg.norm(ell.spmv(data, xs) - b)
+                / jnp.linalg.norm(b))
+    assert rel < 1e-8
+    assert 1 < int(its) < 5000
