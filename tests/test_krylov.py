@@ -179,3 +179,27 @@ def test_schur_negative_block_orientation_gradient_constraint():
                 / jnp.linalg.norm(b))
     assert rel < 1e-8
     assert 1 < int(its) < 5000
+
+
+def test_mixed_precision_direction_obstacle():
+    """ksp_precision=mixed (native-f32 equilibrated inner Krylov + f64
+    refinement, solve/nonlinear.py) matches the f64 direction on a
+    well-conditioned system to ~1e-8."""
+    import scipy.sparse.linalg as spla
+    from proximalgalerkin_tpu.mesh import rectangle_mesh
+    from proximalgalerkin_tpu.models.obstacle import setup_obstacle_problem
+
+    mesh = rectangle_mesh(10, 10, p0=(-1.0, -1.0), p1=(1.0, 1.0))
+    prob = setup_obstacle_problem(mesh, polynomial_order=1, verbose=False)
+    p = prob.problem
+    space = prob.space
+    p.update(coeffs={"psi_k": jnp.zeros(space.spaces["psi"].num_dofs),
+                     "u_k": jnp.zeros(space.spaces["u"].num_dofs)})
+    x = jnp.asarray(p.set_bc(space.zeros()))
+    F = p.residual(x)
+    A = p.jacobian_scipy(x)
+    dx_lu = spla.splu(A.tocsc()).solve(np.asarray(-F))
+    step = p.direction_solver("minres", "jacobi", "ell", precision="mixed")
+    dx = np.asarray(step(x, F, p.coeffs, p.consts, 1e-10, 1e-12, 20000))
+    rel = np.linalg.norm(dx - dx_lu) / np.linalg.norm(dx_lu)
+    assert rel < 1e-7, rel
