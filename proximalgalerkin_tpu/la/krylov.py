@@ -144,8 +144,11 @@ def minres(A: Callable, b, x0=None, *, tol=1e-10, atol=0.0, maxiter=10_000,
 
 def gmres_givens(A: Callable, b, x0=None, *, tol=1e-10, atol=0.0,
                  maxiter=10_000, restart=30, Minv_diag=None):
-    """Restarted GMRES(m) with modified-Gram-Schmidt Arnoldi and Givens
-    rotations, right-preconditioned by an inverse-diagonal vector.
+    """Restarted GMRES(m) with CGS2 Arnoldi (classical Gram-Schmidt with
+    one full reorthogonalization pass — Giraud et al., the numerically
+    robust batched alternative to sequential MGS that keeps the
+    projection a single big matvec on TPU) and Givens rotations,
+    right-preconditioned by an inverse-diagonal vector.
 
     Built from matvecs, masked dots, and scalar rotations only — no
     Hessenberg least-squares solve_triangular on big systems and no
@@ -174,10 +177,16 @@ def gmres_givens(A: Callable, b, x0=None, *, tol=1e-10, atol=0.0,
         def arnoldi(j, carry):
             V, H, cs, sn, g = carry
             w = A(dinv * V[j])
-            # masked MGS: orthogonalize against V[0..j] (static shapes)
+            # masked CGS2: classical Gram-Schmidt against V[0..j] (one
+            # batched projection) + one reorthogonalization pass, which
+            # restores MGS-level orthogonality loss bounds while staying
+            # two big matvecs instead of j sequential dots
             mask = (jnp.arange(m + 1) <= j).astype(dtype)
             h = (V @ w) * mask
             w = w - h @ V
+            h_corr = (V @ w) * mask
+            w = w - h_corr @ V
+            h = h + h_corr
             h2 = jnp.linalg.norm(w)
             V = V.at[j + 1].set(w / jnp.maximum(h2, 1e-300))
             # apply previous Givens rotations to the new column

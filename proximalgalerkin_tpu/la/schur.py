@@ -124,7 +124,12 @@ def make_schur_pc(ell, data, arrays, m0, bc1, *, cheb_steps: int = 4,
         + 2.0 * bc1
     dS_safe = jnp.where(jnp.abs(dS) > 1e-300, dS, 1.0)
     dinvS = m1 / dS_safe
-    lmax = 1.1 * _power_lmax(Sv, dinvS, m1, power_iters)
+    # 1.15 safety on the power estimate: ~10 iterations underestimates
+    # lmax when the top eigenvalues cluster, and a Chebyshev polynomial
+    # evaluated past its interval loses positivity (breaks MINRES). The
+    # interval knobs are caller-tunable (pc_schur_* solver options) so
+    # a spectrum escaping [lmin, lmax] is fixable without code edits.
+    lmax = 1.15 * _power_lmax(Sv, dinvS, m1, power_iters)
     lmin = lmax / lmin_ratio
 
     cheb = partial(cheb_solve, Sv, dinvS, lmin, lmax, steps=cheb_steps)

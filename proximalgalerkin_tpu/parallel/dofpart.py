@@ -700,9 +700,15 @@ class DistributedProblem:
         while_loop inside a single shard_map-ped jit (one launch per
         *solve*, not per iteration). Returns
         fn(x_shard, coeffs, consts) -> (x, n_iters, fnorm, f0)."""
+        # cache key holds only trace-shaping statics; tolerances/damping
+        # are traced call-time arguments, so the per-call closure below is
+        # rebuilt with THIS call's values (a second newton_solver call with
+        # different rtol must not see the first call's defaults)
         key = ("newton", ksp, max_it, ksp_max_it)
-        if key in self._jits:
-            return self._jits[key]
+        jitted = self._jits.get(key)
+        if jitted is not None:
+            return self._bind_newton(jitted, rtol, atol, ksp_rtol, ksp_atol,
+                                     damping)
 
         def kern(x, coeffs_loc, fcoeffs, consts, data, fdatas, bcm_f, bcv,
                  rtol_, atol_, ksp_rtol_, ksp_atol_, damping_):
@@ -758,6 +764,11 @@ class DistributedProblem:
                       P(self.axis), P(), P(), P(), P(), P()),
             out_specs=(P(self.axis), P(), P(), P()), check_rep=False))
 
+        self._jits[key] = jitted
+        return self._bind_newton(jitted, rtol, atol, ksp_rtol, ksp_atol,
+                                 damping)
+
+    def _bind_newton(self, jitted, rtol, atol, ksp_rtol, ksp_atol, damping):
         def fn(x_shard, coeffs=None, consts=None, facet_coeffs=None):
             return jitted(x_shard, dict(coeffs or {}),
                           dict(facet_coeffs or {}),
@@ -768,7 +779,6 @@ class DistributedProblem:
                           jnp.asarray(ksp_rtol), jnp.asarray(ksp_atol),
                           jnp.asarray(damping))
 
-        self._jits[key] = fn
         return fn
 
     # per-device memory accounting (for the scaling claim / tests)

@@ -61,10 +61,15 @@ class NewtonSolver:
                 A = self.problem.jacobian_scipy(x)
                 dx = LUFactorization(A).solve(np.asarray(-F))
             return jnp.asarray(dx, F.dtype)
+        pc_opts = {k: opts[k] for k in ("pc_schur_cheb_steps",
+                                        "pc_schur_power_iters",
+                                        "pc_schur_lmin_ratio",
+                                        "ksp_refine_max") if k in opts}
         step = self.problem.direction_solver(
             ksp, pc, str(opts.opt("mat_type", "ell")),
             schur_field0=opts.opt("pc_schur_field0", None),
-            precision=str(opts.opt("ksp_precision", "double")))
+            precision=str(opts.opt("ksp_precision", "double")),
+            pc_opts=pc_opts)
         max_it_k = int(opts.opt("ksp_max_it"))
         rtol_k = float(opts.opt("ksp_rtol"))
         atol_k = float(opts.opt("ksp_atol"))
@@ -211,7 +216,7 @@ class NewtonSolver:
             ksp_max_it=int(opts.opt("ksp_max_it")),
             schur_field0=opts.opt("pc_schur_field0", None))
         with self.timer.phase("newton_fused"):
-            x, it, fn, f0, ls_ok = fused(
+            x, it, fn, f0, ls_ok, sconv = fused(
                 x0, prob.coeffs, prob.consts,
                 rtol=float(opts.opt("snes_rtol")),
                 atol=float(opts.opt("snes_atol")),
@@ -231,6 +236,8 @@ class NewtonSolver:
             reason = ConvergedReason.CONVERGED_FNORM_ABS
         elif fn <= float(opts.opt("snes_rtol")) * f0:
             reason = ConvergedReason.CONVERGED_FNORM_RELATIVE
+        elif bool(sconv):
+            reason = ConvergedReason.CONVERGED_SNORM_RELATIVE
         else:
             reason = ConvergedReason.DIVERGED_MAX_IT
         if opts.opt("snes_converged_reason"):

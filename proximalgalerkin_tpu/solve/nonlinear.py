@@ -19,6 +19,43 @@ from ..assembly.assemble import VolumeForm
 from ..spaces.space import DirichletBC
 
 
+def _refined(solve_lo, Av, b, rtol, atol, max_passes, dx0=None):
+    """f64 iterative refinement around a lower-precision inner solver.
+
+    solve_lo(r64) must return an approximate f64 solution of A z = r64
+    (typically: equilibrate, solve in f32 to ~1e-6, unscale). Passes repeat
+    while the TRUE f64 residual ||b - A dx|| still exceeds
+    max(rtol*||b||, atol) AND keeps improving by >=10% — replacing the old
+    fixed-2-pass scheme, which capped accuracy at ~1e-6 on the protocols
+    that need 1e-10 (VERDICT r2 item 1). Non-improving corrections are
+    rejected so the best iterate is always returned."""
+    bnorm = jnp.linalg.norm(b)
+    target = jnp.maximum(rtol * bnorm, atol)
+    dx = solve_lo(b) if dx0 is None else dx0
+    r = b - Av(dx)
+    rn = jnp.linalg.norm(r)
+    big = jnp.asarray(jnp.finfo(b.dtype).max, b.dtype)
+
+    def cond(state):
+        i, dx, r, rn, rn_prev = state
+        return jnp.logical_and(
+            jnp.logical_and(i < max_passes, rn > target),
+            jnp.logical_and(rn < 0.9 * rn_prev, jnp.isfinite(rn)))
+
+    def body(state):
+        i, dx, r, rn, _ = state
+        dxn = dx + solve_lo(r)
+        rv = b - Av(dxn)
+        rnn = jnp.linalg.norm(rv)
+        better = rnn < rn
+        dx = jnp.where(better, dxn, dx)
+        r = jnp.where(better, rv, r)
+        return i + 1, dx, r, jnp.minimum(rnn, rn), rn
+
+    _, dx, _, _, _ = jax.lax.while_loop(cond, body, (0, dx, r, rn, big))
+    return dx
+
+
 class NonlinearProblem:
     def __init__(self, form: VolumeForm, bcs: Sequence[DirichletBC] = (),
                  coeffs: Optional[Mapping] = None,
@@ -86,7 +123,8 @@ class NonlinearProblem:
 
     def direction_solver(self, ksp: str, pc: str, mat_type: str = "ell",
                          schur_field0: Optional[str] = None,
-                         precision: str = "double"):
+                         precision: str = "double",
+                         pc_opts: Optional[Mapping] = None):
         """One fused, jitted Newton-direction kernel per option set:
         (x, F, coeffs, consts, rtol, atol, maxiter) -> dx solving
         J(x) dx = -F entirely on device. mat_type 'ell' assembles the
@@ -102,12 +140,13 @@ class NonlinearProblem:
         runs), generalizing the P1 obstacle solver's proven scheme
         (models/obstacle_p1.py).
         Compiled once per shape set — no per-step retracing."""
-        key = (ksp, pc, mat_type, schur_field0, precision)
+        key = (ksp, pc, mat_type, schur_field0, precision,
+               tuple(sorted((pc_opts or {}).items())))
         if key in self._direction_cache:
             return self._direction_cache[key]
 
         direction = self._make_direction_fn(ksp, pc, mat_type, schur_field0,
-                                            precision)
+                                            precision, pc_opts)
         ell = self.ell_matrix if mat_type == "ell" else None
 
         jitted = jax.jit(direction, static_argnames=("maxiter",))
@@ -122,7 +161,8 @@ class NonlinearProblem:
 
     def _make_direction_fn(self, ksp: str, pc: str, mat_type: str = "ell",
                            schur_field0: Optional[str] = None,
-                           precision: str = "double"):
+                           precision: str = "double",
+                           pc_opts: Optional[Mapping] = None):
         """Pure direction-solve body shared by direction_solver and the
         fused Newton kernel: (x, F, coeffs, consts, rtol, atol, maxiter,
         cell_data, ell_arrays) -> dx with J(x) dx = -F."""
@@ -130,19 +170,24 @@ class NonlinearProblem:
         form = self.form
         bc_idx, bc_vals = self.bc_idx, self.bc_vals
         ell = self.ell_matrix if mat_type == "ell" else None
-        if precision == "mixed" and (mat_type != "ell" or pc != "jacobi"):
+        if precision == "mixed" and (mat_type != "ell"
+                                     or pc not in ("jacobi", "schur")):
             raise ValueError("precision='mixed' requires mat_type='ell' "
-                             "and pc='jacobi'")
+                             "and pc in ('jacobi', 'schur')")
+        pc_opts = dict(pc_opts or {})
 
         m0_np = bc1_np = None
         if pc == "schur":
             if mat_type != "ell" or ksp != "minres":
                 raise ValueError("pc='schur' requires mat_type='ell' and "
                                  "ksp='minres'")
+            # block0 = the invertible-diagonal block; comma-separated field
+            # names cover multi-field latent blocks (eigenvalue constraints'
+            # (psi1, psi2) pair)
             f0 = schur_field0 or self.space.names[0]
-            sl = self.space.slice_of(f0)
             m0_np = np.zeros(self.space.num_dofs)
-            m0_np[sl] = 1.0
+            for name in str(f0).split(","):
+                m0_np[self.space.slice_of(name.strip())] = 1.0
             bc1_np = np.zeros(self.space.num_dofs)
             bci = np.asarray(self.bc_idx)
             bc1_np[bci] = 1.0 - m0_np[bci]
@@ -167,11 +212,58 @@ class NonlinearProblem:
             b = -F
             if pc == "schur":
                 from ..la.schur import make_schur_pc
-                Minv = make_schur_pc(ell, data, ell_arrays,
-                                     jnp.asarray(m0_np, form.dtype),
-                                     jnp.asarray(bc1_np, form.dtype))
-                return kry.minres(Av, b, x0=dx0, tol=rtol, atol=atol,
-                                  maxiter=maxiter, Minv=Minv)
+                schur_kw = dict(
+                    cheb_steps=int(pc_opts.get("pc_schur_cheb_steps", 4)),
+                    power_iters=int(pc_opts.get("pc_schur_power_iters", 10)),
+                    lmin_ratio=float(pc_opts.get("pc_schur_lmin_ratio",
+                                                 30.0)))
+                # Symmetric Jacobi equilibration UNDER the Schur PC: the
+                # scaled system S A S (S = |diag|^-1/2) has unit-magnitude
+                # diagonal, which (a) keeps every Krylov inner product in
+                # the TPU's emulated-f64 / native-f32 dynamic range (LVPP
+                # rows span ~1e16, memory: tpu-f64-dynamic-range) and
+                # (b) hands make_schur_pc a ±1 block0 diagonal, the
+                # best-case for its diag(A00)^{-1} approximation.
+                d = ell.diagonal(data, ell_arrays)
+                s = jnp.where(jnp.abs(d) > 1e-300,
+                              1.0 / jnp.sqrt(jnp.abs(d)), 1.0)
+                data_s = s[:, None] * data * s[ell_arrays["ell_cols"]]
+                m0 = jnp.asarray(m0_np, form.dtype)
+                bc1 = jnp.asarray(bc1_np, form.dtype)
+
+                def Av_s(v):
+                    return ell.spmv(data_s, v, ell_arrays)
+
+                if precision == "mixed":
+                    # inner MINRES+Schur in native f32 (bounded iterations
+                    # by the PC => no f32 recurrence drift accumulation),
+                    # wrapped in f64 iterative refinement to protocol
+                    # tolerances — the round-3 MUMPS replacement.
+                    f32 = jnp.float32
+                    data32 = data_s.astype(f32)
+                    Minv32 = make_schur_pc(ell, data32, ell_arrays,
+                                           m0.astype(f32), bc1.astype(f32),
+                                           **schur_kw)
+
+                    def Av32(v):
+                        return ell.spmv(data32, v, ell_arrays)
+
+                    def solve_lo(r64):
+                        y = kry.minres(Av32, (s * r64).astype(f32),
+                                       tol=1e-6, maxiter=maxiter,
+                                       Minv=Minv32)
+                        return s * y.astype(jnp.float64)
+
+                    return _refined(solve_lo, Av, b, rtol, atol,
+                                    int(pc_opts.get("ksp_refine_max", 30)),
+                                    dx0=dx0)
+
+                Minv = make_schur_pc(ell, data_s, ell_arrays, m0, bc1,
+                                     **schur_kw)
+                y0 = None if dx0 is None else dx0 / s
+                y = kry.minres(Av_s, s * b, x0=y0, tol=rtol, atol=atol,
+                               maxiter=maxiter, Minv=Minv)
+                return s * y
             if pc == "jacobi":
                 if mat_type == "ell":
                     d = ell.diagonal(data, ell_arrays)
@@ -233,12 +325,9 @@ class NonlinearProblem:
                                 f"mixed precision: unsupported ksp {ksp!r}")
                         return s * y.astype(jnp.float64)
 
-                    dx = solve32(b) if dx0 is None else dx0
-                    # two f64 refinement passes (residual via f64 SpMV)
-                    for _ in range(2):
-                        r = b - Av(dx)
-                        dx = dx + solve32(r)
-                    return dx
+                    return _refined(solve32, Av, b, rtol, atol,
+                                    int(pc_opts.get("ksp_refine_max", 30)),
+                                    dx0=dx0)
 
                 bs = s * b
                 y0 = None if dx0 is None else dx0 / s
@@ -267,19 +356,24 @@ class NonlinearProblem:
                 else:
                     raise ValueError(f"unknown ksp_type {ksp!r}")
                 return s * y
+            # every branch honors dx0 so ksp_chunk_it warm restarts make
+            # progress across chunks (ADVICE r2)
             if ksp == "minres":
-                return kry.minres(Av, b, tol=rtol, atol=atol,
+                return kry.minres(Av, b, x0=dx0, tol=rtol, atol=atol,
                                   maxiter=maxiter)
             if ksp == "cg":
                 xs, _ = jax.scipy.sparse.linalg.cg(
-                    Av, b, tol=rtol, atol=atol, maxiter=maxiter)
+                    Av, b, x0=dx0, tol=rtol, atol=atol, maxiter=maxiter)
             elif ksp == "gmres":
                 xs, _ = jax.scipy.sparse.linalg.gmres(
-                    Av, b, tol=rtol, atol=atol, maxiter=maxiter,
+                    Av, b, x0=dx0, tol=rtol, atol=atol, maxiter=maxiter,
                     restart=30, solve_method="batched")
+            elif ksp == "gmres_d":
+                xs = kry.gmres_givens(Av, b, x0=dx0, tol=rtol, atol=atol,
+                                      maxiter=maxiter, restart=60)
             elif ksp == "bicgstab":
                 xs, _ = jax.scipy.sparse.linalg.bicgstab(
-                    Av, b, tol=rtol, atol=atol, maxiter=maxiter)
+                    Av, b, x0=dx0, tol=rtol, atol=atol, maxiter=maxiter)
             else:
                 raise ValueError(f"unknown ksp_type {ksp!r}")
             return xs
@@ -302,7 +396,7 @@ class NonlinearProblem:
         0.5||F||^2 with halving backtracks, fixed budget).
 
         Returns fn(x0, coeffs, consts, rtol, atol, stol, ksp_rtol,
-        ksp_atol, damping) -> (x, it, fnorm, f0, ls_ok).
+        ksp_atol, damping) -> (x, it, fnorm, f0, ls_ok, sconv).
         """
         key = ("fused", ksp, pc, mat_type, linesearch, max_it, ksp_max_it,
                schur_field0)
@@ -370,23 +464,30 @@ class NonlinearProblem:
             f0 = jnp.linalg.norm(F)
 
             def cond(s):
-                it, x, F, fn, ls_ok = s
+                it, x, F, fn, ls_ok, sconv = s
                 live = jnp.logical_and(fn > jnp.maximum(rtol * f0, atol),
                                        jnp.isfinite(fn))
+                live = jnp.logical_and(live, jnp.logical_not(sconv))
                 return jnp.logical_and(jnp.logical_and(it < max_it, live),
                                        ls_ok)
 
             def body(s):
-                it, x, F, fn, _ = s
+                it, x, F, fn, _, _ = s
                 dx = direction(x, F, coeffs, consts, ksp_rtol, ksp_atol,
                                ksp_max_it, cell_data, ell_arrays)
-                x, ls_ok = do_linesearch(x, dx, fn)
-                F = residual(x)
-                return it + 1, x, F, jnp.linalg.norm(F), ls_ok
+                xn, ls_ok = do_linesearch(x, dx, fn)
+                # SNES stol test (||x_new - x|| < stol ||x_new||) — the
+                # host driver converges via CONVERGED_SNORM_RELATIVE and
+                # the fused path must agree (ADVICE r2)
+                sconv = jnp.linalg.norm(xn - x) < stol * jnp.maximum(
+                    jnp.linalg.norm(xn), 1e-300)
+                F = residual(xn)
+                return it + 1, xn, F, jnp.linalg.norm(F), ls_ok, sconv
 
-            it, x, F, fn, ls_ok = jax.lax.while_loop(
-                cond, body, (0, x, F, f0, jnp.array(True)))
-            return x, it, fn, f0, ls_ok
+            it, x, F, fn, ls_ok, sconv = jax.lax.while_loop(
+                cond, body,
+                (0, x, F, f0, jnp.array(True), jnp.array(False)))
+            return x, it, fn, f0, ls_ok, sconv
 
         jitted = jax.jit(solve)
 
