@@ -125,3 +125,78 @@ def mg_levels_for(m: int, coarsest: int = 17) -> int:
         m = (m - 1) // 2 + 1
         lv += 1
     return lv
+
+
+# ------------------------- variable-coefficient variant (lattice Schur PC)
+
+def build_hierarchy_var(alpha, m2d, free, levels: int):
+    """Per-level (alpha, m2d, free) for grid-varying alpha(x): alpha is
+    h-independent (restricted plainly), m2d ~ h^2 (restricted with the
+    factor 4), free coarsens conservatively."""
+    out = [(alpha, m2d, free)]
+    cur_a, cur_m2d, cur_free = alpha, m2d, free
+    for _ in range(levels - 1):
+        cur_a = restrict(cur_a)
+        cur_m2d = 4.0 * restrict(cur_m2d)
+        cur_free = restrict(jnp.where(cur_free, 1.0, 0.0)) > 0.999
+        cur_free = cur_free.at[0, :].set(False).at[-1, :].set(False) \
+            .at[:, 0].set(False).at[:, -1].set(False)
+        out.append((cur_a, cur_m2d, cur_free))
+    return out
+
+
+def v_cycle_var(r, hierarchy, level=0, nu=2, omega=0.8):
+    """V(nu, nu) cycle for (alpha(x) A + m2d) z = r — the S-solve of the
+    lattice Schur preconditioner. alpha(x)*(4u - sum nbrs) approximates
+    div(alpha grad) to preconditioner accuracy for smooth alpha."""
+    alpha, m2d, free = hierarchy[level]
+    diag = jnp.where(free, 4.0 * alpha + m2d, 1.0)
+
+    def smooth(z, sweeps):
+        def body(_, z):
+            res = r - stencil_apply(z, alpha, m2d, free)
+            return z + omega * res / diag
+        return jax.lax.fori_loop(0, sweeps, body, z)
+
+    z = smooth(jnp.zeros_like(r), nu)
+    if level == len(hierarchy) - 1:
+        return smooth(z, 24)
+    res = jnp.where(free, r - stencil_apply(z, alpha, m2d, free), 0.0)
+    rc = 4.0 * restrict(res)
+    zc = v_cycle_var(rc, hierarchy, level + 1, nu, omega)
+    z = z + jnp.where(free, prolong(zc, r.shape), 0.0)
+    return smooth(z, nu)
+
+
+def lattice_map(points: np.ndarray):
+    """Map dof coordinates that form a full 2D tensor lattice to grid
+    indices. Returns (perm, shape): perm[grid_flat] = dof index, with
+    shape (my, mx). Raises if the points are not a complete lattice —
+    the caller falls back to the Chebyshev Schur PC.
+
+    Lagrange-P2 dofs on a uniform right-diagonal triangulation and Q_p
+    dofs on a uniform quad grid both form complete (p*N+1)^2 lattices
+    (vertices + edge/interior nodes all land on the h/p sub-lattice)."""
+    import numpy as _np
+    pts = _np.asarray(points)
+    if pts.shape[1] != 2:
+        raise ValueError("lattice_map: 2D points only")
+    out = []
+    idx = []
+    for d in range(2):
+        x = pts[:, d]
+        xs = _np.unique(_np.round(x, 9))
+        h = _np.min(_np.diff(xs)) if len(xs) > 1 else 1.0
+        i = _np.round((x - xs[0]) / h).astype(_np.int64)
+        n = int(i.max()) + 1
+        if not _np.allclose(xs[0] + i * h, x, atol=1e-8 * max(1.0, abs(h))):
+            raise ValueError("lattice_map: points off-lattice")
+        idx.append(i)
+        out.append(n)
+    mx, my = out
+    flat = idx[1] * mx + idx[0]
+    if len(_np.unique(flat)) != mx * my or len(pts) != mx * my:
+        raise ValueError("lattice_map: incomplete lattice")
+    perm = _np.empty(mx * my, dtype=_np.int64)
+    perm[flat] = _np.arange(len(pts))
+    return perm, (my, mx)

@@ -90,6 +90,37 @@ def cheb_solve(Sv: Callable, dinv, lmin, lmax, b, steps: int):
     return z
 
 
+def schur_operator(ell, data, arrays, m0, bc1):
+    """The SPD Schur operator on block1 and its exact diagonal.
+
+    Returns (Sv, dS, dinv0): Sv the matrix-free action, dS its diagonal
+    (both sign-corrected SPD), dinv0 the inverse block0 diagonal.
+
+    Orientation: with block0 diagonal POSITIVE (eikonal's Hellinger-
+    derivative mass), S~ = A10 d0^-1 A01 - A11 is the SPD Schur (A11
+    <= 0 there); with block0 NEGATIVE (gradient constraint writes its
+    latent row as grad u - map, so J_psi,psi = -dmap), the SPD Schur is
+    the negation A11 - A10 d0^-1 A01 = A11 + A10 |d0|^-1 A01. One
+    dominant-sign flip covers both.
+    """
+    m1 = 1.0 - m0
+    diagA = ell.diagonal(data, arrays)
+    d0 = m0 * diagA + m1                       # 1.0 off-block: safe divide
+    dinv0 = jnp.where(jnp.abs(d0) > 1e-300, 1.0 / d0, 1.0)
+    s0 = jnp.sign(jnp.sum(m0 * diagA))
+    s0 = jnp.where(s0 == 0, 1.0, s0)
+
+    def Sv(v):
+        t = ell.spmv(data, m1 * v, arrays)     # A01 v1 (block0 rows of t)
+        t0 = m0 * t * dinv0
+        s = m1 * ell.spmv(data, t0, arrays)    # A10 d0^{-1} A01 v1
+        return s0 * (s - m1 * t) + 2.0 * bc1 * v   # -A11 v1, bc sign fix
+
+    dS = s0 * schur_diag(ell, data, arrays, m0, dinv0, jnp.zeros_like(bc1)) \
+        + 2.0 * bc1
+    return Sv, dS, dinv0
+
+
 def make_schur_pc(ell, data, arrays, m0, bc1, *, cheb_steps: int = 4,
                   power_iters: int = 10, lmin_ratio: float = 30.0
                   ) -> Callable:
@@ -102,26 +133,7 @@ def make_schur_pc(ell, data, arrays, m0, bc1, *, cheb_steps: int = 4,
     Returns Minv(r) applying blockdiag(|d0|^{-1}, Chebyshev(S~)).
     """
     m1 = 1.0 - m0
-    diagA = ell.diagonal(data, arrays)
-    d0 = m0 * diagA + m1                       # 1.0 off-block: safe divide
-    dinv0 = jnp.where(jnp.abs(d0) > 1e-300, 1.0 / d0, 1.0)
-    # Orientation: with block0 diagonal POSITIVE (eikonal's Hellinger-
-    # derivative mass), S~ = A10 d0^-1 A01 - A11 is the SPD Schur (A11
-    # <= 0 there); with block0 NEGATIVE (gradient constraint writes its
-    # latent row as grad u - map, so J_psi,psi = -dmap), the SPD Schur is
-    # the negation A11 - A10 d0^-1 A01 = A11 + A10 |d0|^-1 A01. One
-    # dominant-sign flip covers both.
-    s0 = jnp.sign(jnp.sum(m0 * diagA))
-    s0 = jnp.where(s0 == 0, 1.0, s0)
-
-    def Sv(v):
-        t = ell.spmv(data, m1 * v, arrays)     # A01 v1 (block0 rows of t)
-        t0 = m0 * t * dinv0
-        s = m1 * ell.spmv(data, t0, arrays)    # A10 d0^{-1} A01 v1
-        return s0 * (s - m1 * t) + 2.0 * bc1 * v   # -A11 v1, bc sign fix
-
-    dS = s0 * schur_diag(ell, data, arrays, m0, dinv0, jnp.zeros_like(bc1)) \
-        + 2.0 * bc1
+    Sv, dS, dinv0 = schur_operator(ell, data, arrays, m0, bc1)
     dS_safe = jnp.where(jnp.abs(dS) > 1e-300, dS, 1.0)
     dinvS = m1 / dS_safe
     # 1.15 safety on the power estimate: ~10 iterations underestimates
@@ -136,5 +148,61 @@ def make_schur_pc(ell, data, arrays, m0, bc1, *, cheb_steps: int = 4,
 
     def Minv(r):
         return m0 * jnp.abs(dinv0) * r + cheb(m1 * r)
+
+    return Minv
+
+
+def make_schur_mg_pc(ell, data, arrays, m0, bc1, perm, grid_shape,
+                     free_grid, levels: int, nu: int = 2) -> Callable:
+    """Block-Schur preconditioner with a geometric-multigrid S-solve for
+    LATTICE-structured block1 fields (P2 on uniform triangulations, Q_p on
+    uniform quad grids — their dofs form a complete (pN+1)^2 lattice,
+    la/gmg.py lattice_map).
+
+    The Schur complement of the LVPP saddle systems is stiffness-dominated
+    (S ~ alpha K + coupling); a fixed Chebyshev polynomial only damps the
+    top of that spectrum, so MINRES iteration counts grow with alpha/h^2
+    (measured: 400+ on gradient-constraint 16^2 vs 59 on the
+    mass-dominated eikonal Schur). One V-cycle on the spectrally
+    equivalent lattice operator alpha(x) A5 + m2d(x) is h- and
+    alpha-robust (la/gmg.py measurements: 429 Jacobi-CG -> 10 MG-PCG).
+
+    The stencil coefficients come from the operator itself, matrix-free:
+    row sums of S give m2d (the zero-row-sum Laplacian part drops out);
+    (diag - rowsum)/4 gives alpha(x).
+
+    perm: (prod(grid_shape),) global dof index of each lattice point.
+    """
+    from .gmg import build_hierarchy_var, v_cycle_var
+    m1 = 1.0 - m0
+    Sv, dS, dinv0 = schur_operator(ell, data, arrays, m0, bc1)
+    dtype = data.dtype
+
+    # Stencil fit. The Laplacian strength MUST be a (near-)constant: the
+    # P2<->P1-half-grid equivalence is between the P2 operator and the
+    # CONSTANT-coefficient 5-point stencil; fitting alpha per node bakes
+    # the vertex/edge diagonal checkerboard of P2 into the coefficient
+    # and the V-cycle stops converging (measured: MINRES diverged).
+    # rowsum isolates the zero-row-sum Laplacian part; the masked-mean
+    # diagonal excess / 4 is the constant; the pointwise remainder stays
+    # in the (diagonal) m2d term so Jacobi smoothing sees the exact diag.
+    free_flat = jnp.asarray(free_grid).reshape(-1).astype(dtype)
+    rowsum = Sv(m1)                          # S * ones on block1
+    dS_l = dS[perm]
+    excess = (dS_l - jnp.maximum(rowsum[perm], 0.0)) * free_flat
+    alpha_c = jnp.maximum(jnp.sum(excess)
+                          / (4.0 * jnp.maximum(jnp.sum(free_flat), 1.0)),
+                          jnp.asarray(1e-30, dtype))
+    m2d_g = jnp.maximum(dS_l - 4.0 * alpha_c,
+                        jnp.asarray(0.0, dtype)).reshape(grid_shape)
+    alpha_g = jnp.full(grid_shape, alpha_c, dtype)
+    hierarchy = build_hierarchy_var(alpha_g, m2d_g,
+                                    jnp.asarray(free_grid), levels)
+
+    def Minv(r):
+        rg = (m1 * r)[perm].reshape(grid_shape)
+        zg = v_cycle_var(rg, hierarchy, nu=nu)
+        z = jnp.zeros_like(r).at[perm].set(zg.reshape(-1))
+        return m0 * jnp.abs(dinv0) * r + m1 * z
 
     return Minv

@@ -60,7 +60,19 @@ def solve_fracture(
     nfail_max: int = 50,
     solver_options: Optional[dict] = None,
     verbose: bool = True,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 10,
+    progress_jsonl: Optional[str] = None,
 ) -> FractureResult:
+    """...
+
+    checkpoint_path: npz snapshot of (x, x_prev, alpha, step, histories)
+      written every `checkpoint_every` load steps and loaded on entry if
+      present — a multi-hour 1001-step continuation resumes where it left
+      off instead of restarting (VERDICT r2: the record harness lost ~7 h
+      to this). progress_jsonl: one JSON line appended per load step, so
+      partial runs still have their per-step iteration arrays on disk.
+    """
     tagged = tagged if tagged is not None else create_crack_mesh(max_res)
     mesh = tagged.mesh
     V = FunctionSpace.create(mesh, 1)
@@ -140,8 +152,51 @@ def solve_fracture(
     alpha = 1.0
     result = FractureResult(u=np.zeros(V.num_dofs), c=np.zeros(V.num_dofs))
 
+    start_step = 0
+    if checkpoint_path is not None:
+        from pathlib import Path
+        if Path(checkpoint_path).exists():
+            from ..utils.checkpoint import LVPPCheckpoint
+            ck = LVPPCheckpoint.load(checkpoint_path)
+            x = jnp.asarray(ck.x)
+            x_prev = jnp.asarray(ck.x_k)
+            alpha = float(ck.alpha_prev_raw)
+            start_step = int(ck.step)
+            result.newton_per_step = list(ck.newton_steps)
+            result.load_history = list(ck.observables.get("load", []))
+            result.lvpp_per_step = [
+                int(v) for v in ck.observables.get("lvpp", [])]
+            result.max_damage_history = list(
+                ck.observables.get("max_damage", []))
+            if verbose:
+                rank_print(f"Resuming fracture continuation at load step "
+                           f"{start_step} (alpha={alpha})")
+
+    def _save_ck(step):
+        from ..utils.checkpoint import LVPPCheckpoint
+        LVPPCheckpoint(
+            x=np.asarray(x), x_k=np.asarray(x_prev), iteration=0,
+            alpha_prev_raw=alpha, step=step,
+            newton_steps=result.newton_per_step,
+            observables={"load": result.load_history,
+                         "lvpp": [float(v) for v in result.lvpp_per_step],
+                         "max_damage": result.max_damage_history},
+        ).save(checkpoint_path)
+
+    def _emit(step, T, newton_count, lvpp_count):
+        if progress_jsonl is None:
+            return
+        import json as _json
+        with open(progress_jsonl, "a") as f:
+            f.write(_json.dumps(
+                {"step": step, "T": float(T), "newton": int(newton_count),
+                 "lvpp": int(lvpp_count), "alpha": alpha,
+                 "max_damage": result.max_damage_history[-1]}) + "\n")
+
     loads = np.linspace(Tmin, Tmax, num_load_steps)[1:]
     for step, T in enumerate(loads):
+        if step < start_step:
+            continue
         if verbose:
             rank_print(f"Solving for T = {float(T):.4f} "
                        f"({step / max(len(loads), 1) * 100:.1f}%)")
@@ -189,6 +244,7 @@ def solve_fracture(
         result.newton_per_step.append(newton_count)
         result.lvpp_per_step.append(lvpp_count)
         result.max_damage_history.append(float(jnp.max(x[c_sl])))
+        _emit(step, T, newton_count, lvpp_count)
 
         # broken-specimen detection (:289-294)
         if k == 1 and bool(jnp.allclose(x, x_prev)) and step > 0:
@@ -198,6 +254,8 @@ def solve_fracture(
         if nfail >= nfail_max:
             break
         x_prev = x
+        if checkpoint_path is not None and (step + 1) % checkpoint_every == 0:
+            _save_ck(step + 1)
 
     result.u = np.asarray(x[u_sl])
     result.c = np.asarray(x[c_sl])

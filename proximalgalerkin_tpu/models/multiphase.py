@@ -101,7 +101,14 @@ def solve_multiphase(
     T: float = 7e-3,
     solver_options: Optional[dict] = None,
     verbose: bool = True,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 10,
+    progress_jsonl: Optional[str] = None,
 ) -> MultiphaseResult:
+    """checkpoint_path: npz snapshot written every checkpoint_every time
+    steps and loaded on entry if present, so the 700-step protocol run
+    resumes instead of restarting; progress_jsonl appends one JSON line
+    per completed implicit-Euler step (incremental record emission)."""
     mesh = unit_square_mesh(N, M, cell_type=cell_type, diagonal="crossed")
     C = FunctionSpace.create(mesh, primal_degree, value_size=NUM_SPECIES)
     space = MixedSpace([("u", C), ("z", C), ("psi", C)])
@@ -158,7 +165,44 @@ def solve_multiphase(
     lvpp_its = np.zeros(num_steps, dtype=np.int32)
     masses: List[np.ndarray] = []
 
-    for j in range(1, num_steps + 1):
+    start_step = 0
+    if checkpoint_path is not None:
+        from pathlib import Path
+        if Path(checkpoint_path).exists():
+            from ..utils.checkpoint import LVPPCheckpoint
+            ck = LVPPCheckpoint.load(checkpoint_path)
+            u_prev = jnp.asarray(ck.x)
+            x = jnp.asarray(ck.x_k)
+            start_step = int(ck.step)
+            n_done = len(ck.newton_steps)
+            newton_its[:n_done] = np.asarray(ck.newton_steps,
+                                             dtype=np.int32)[:num_steps]
+            lv = ck.observables.get("lvpp", [])
+            lvpp_its[:len(lv)] = np.asarray(lv, dtype=np.int32)[:num_steps]
+            masses = [np.array([m]) for m in ck.observables.get("mass", [])]
+            if verbose:
+                rank_print(f"Resuming multiphase at time step {start_step}")
+
+    def _save_ck(j):
+        from ..utils.checkpoint import LVPPCheckpoint
+        LVPPCheckpoint(
+            x=np.asarray(u_prev), x_k=np.asarray(x), iteration=0,
+            alpha_prev_raw=1.0, step=j,
+            newton_steps=[int(v) for v in newton_its[:j]],
+            observables={"lvpp": [float(v) for v in lvpp_its[:j]],
+                         "mass": [float(m[0]) for m in masses]},
+        ).save(checkpoint_path)
+
+    def _emit(j, i):
+        if progress_jsonl is None:
+            return
+        import json as _json
+        with open(progress_jsonl, "a") as f:
+            f.write(_json.dumps(
+                {"step": j, "newton": int(newton_its[j - 1]),
+                 "lvpp": int(i), "mass": float(masses[-1][0])}) + "\n")
+
+    for j in range(start_step + 1, num_steps + 1):
         if verbose:
             rank_print(f"Step {j}/{num_steps}")
         # latent warm start psi = ln(|u|+1e-7) + 1 (:183-196)
@@ -197,6 +241,9 @@ def solve_multiphase(
         u_prev = x[u_sl]
         masses.append(np.array(
             [float(mass_fn(x, problem.coeffs, {}))]))
+        _emit(j, i)
+        if checkpoint_path is not None and j % checkpoint_every == 0:
+            _save_ck(j)
 
     return MultiphaseResult(u=np.asarray(u_prev),
                             newton_iterations=newton_its,

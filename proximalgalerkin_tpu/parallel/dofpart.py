@@ -549,12 +549,18 @@ class DistributedProblem:
         d = self._reverse_fold(d_ext)
         return jnp.where(bcm, 1.0, d)
 
-    # distributed Krylov: CG and MINRES with psum inner products
+    # distributed Krylov: CG and MINRES with psum inner products.
+    # Minv may be an inverse-diagonal vector or a callable (the matrix-free
+    # Schur preconditioner).
+    @staticmethod
+    def _apply_pc(Minv, r):
+        return Minv(r) if callable(Minv) else Minv * r
+
     def _cg(self, Av, b, Minv, rtol, atol, maxiter):
         pdot = self._pdot
         x = jnp.zeros_like(b)
         r = b
-        z = Minv * r
+        z = self._apply_pc(Minv, r)
         p_ = z
         rz = pdot(r, z)
         bnorm = jnp.sqrt(pdot(b, b))
@@ -570,7 +576,7 @@ class DistributedProblem:
             a_ = rz / pdot(p_, Ap)
             x = x + a_ * p_
             r = r - a_ * Ap
-            z = Minv * r
+            z = self._apply_pc(Minv, r)
             rz2 = pdot(r, z)
             p_ = z + (rz2 / rz) * p_
             return i + 1, x, r, z, p_, rz2
@@ -585,7 +591,7 @@ class DistributedProblem:
         eps = jnp.finfo(dtype).eps
         x = jnp.zeros_like(b)
         r1 = b
-        y = Minv * r1
+        y = self._apply_pc(Minv, r1)
         beta1 = jnp.sqrt(jnp.maximum(pdot(r1, y), 0.0))
         state = (jnp.array(0), x, r1, r1, jnp.zeros_like(b),
                  jnp.zeros_like(b), beta1, beta1, beta1,
@@ -601,14 +607,14 @@ class DistributedProblem:
         def body(s):
             (it, x, r1, r2, w, w2, phibar, rnorm, beta, betal, cs, sn,
              dbar, epsln, done) = s
-            v = (1.0 / jnp.maximum(beta, eps)) * (Minv * r2)
+            v = (1.0 / jnp.maximum(beta, eps)) * self._apply_pc(Minv, r2)
             yv = Av(v)
             yv = jnp.where(it >= 1,
                            yv - (beta / jnp.maximum(betal, eps)) * r1, yv)
             alfa = pdot(v, yv)
             yv = yv - (alfa / jnp.maximum(beta, eps)) * r2
             r1n, r2n = r2, yv
-            z = Minv * yv
+            z = self._apply_pc(Minv, yv)
             betal_n = beta
             beta_n = jnp.sqrt(jnp.maximum(pdot(yv, z), 0.0))
             oldeps = epsln
@@ -781,7 +787,343 @@ class DistributedProblem:
 
         return fn
 
+    # ---------------------------------------- matrix-free Schur (block PC)
+
+    def _schur_pc_matfree(self, Av, diag, m0, bc1, cheb_steps=4,
+                          power_iters=8, lmin_ratio=30.0):
+        """Matrix-free distributed twin of la.schur.make_schur_pc: the
+        ex40.cpp:261-281 recipe with A01/A10/A11 actions expressed as
+        masked full-Jacobian actions (each Sv = two jac actions through
+        the halo collectives) and a fixed Chebyshev polynomial as the
+        approximate S-solve. Inner products are psum'd."""
+        pdot = self._pdot
+        m1 = 1.0 - m0
+        d0 = m0 * diag + m1
+        dinv0 = jnp.where(jnp.abs(d0) > 1e-300, 1.0 / d0, 1.0)
+        s0 = jnp.sign(self._psum(jnp.sum(m0 * diag)))
+        s0 = jnp.where(s0 == 0, 1.0, s0)
+
+        def Sv(v):
+            t = Av(m1 * v)
+            t0 = m0 * t * dinv0
+            s_ = m1 * Av(t0)
+            return s0 * (s_ - m1 * t) + 2.0 * bc1 * v
+
+        # diagonal-scale proxy for diag(S)^{-1}: |diag(A11)| dominates the
+        # exact Schur diagonal on the block1 rows (the exact row-sum needs
+        # matrix entries the matrix-free path does not have)
+        dS = m1 / jnp.maximum(jnp.abs(diag), 1e-300)
+
+        n = diag.shape[0]
+        v = m1 * (1.0 + 0.5 * jnp.sin(jnp.arange(n, dtype=diag.dtype)))
+        v = v / jnp.maximum(jnp.sqrt(pdot(v, v)), 1e-300)
+
+        def pbody(_, carry):
+            v, lam = carry
+            w = dS * Sv(v)
+            nrm = jnp.sqrt(pdot(w, w))
+            return w / jnp.maximum(nrm, 1e-300), nrm
+
+        _, lam = jax.lax.fori_loop(0, power_iters, pbody,
+                                   (v, jnp.asarray(1.0, diag.dtype)))
+        lmax = 1.15 * lam
+        lmin = lmax / lmin_ratio
+
+        def cheb(b):
+            d_ = (lmax + lmin) / 2.0
+            c_ = (lmax - lmin) / 2.0
+            z = jnp.zeros_like(b)
+            r = b
+            alpha = 1.0 / d_
+            p_ = dS * r
+            z = z + alpha * p_
+            r = r - alpha * Sv(p_)
+
+            def cbody(_, carry):
+                z, r, p_, alpha = carry
+                beta = (c_ * alpha / 2.0) ** 2
+                alpha = 1.0 / (d_ - beta / alpha)
+                p_ = dS * r + beta * p_
+                z = z + alpha * p_
+                r = r - alpha * Sv(p_)
+                return z, r, p_, alpha
+
+            z, *_ = jax.lax.fori_loop(0, cheb_steps - 1, cbody,
+                                      (z, r, p_, alpha))
+            return z
+
+        def Minv(r):
+            return m0 * jnp.abs(dinv0) * r + cheb(m1 * r)
+
+        return Minv
+
+    # --------------------------- fused Newton with linesearch + PC choice
+
+    def fused_lvpp_newton(self, ksp: str = "minres", pc: str = "jacobi",
+                          linesearch: str = "none", max_it: int = 50,
+                          ksp_max_it: int = 20_000,
+                          schur_field0: Optional[str] = None,
+                          cheb_steps: int = 4, power_iters: int = 8,
+                          lmin_ratio: float = 30.0):
+        """The distributed Newton kernel the LVPP driver consumes
+        (VERDICT r2 item 5): one shard_map-ped while_loop per solve with
+        l2/bt linesearches (the jittable twins of solve/newton.py) and
+        jacobi or matrix-free block-Schur preconditioning. Returns
+        fn(x_shard, coeffs, consts, facet_coeffs, rtol, atol, ksp_rtol,
+        ksp_atol, damping) -> (x, it, fnorm, f0, ls_ok)."""
+        key = ("lvppnewton", ksp, pc, linesearch, max_it, ksp_max_it,
+               schur_field0, cheb_steps, power_iters, lmin_ratio)
+        jitted = self._jits.get(key)
+        if jitted is None:
+            m0_np = np.zeros(self.Bsum)
+            if pc == "schur":
+                f0name = schur_field0 or self.space.names[0]
+                for name in str(f0name).split(","):
+                    m0_np[self.field_slice(name.strip())] = 1.0
+            m0_const = jnp.asarray(m0_np)
+
+            def kern(x, coeffs_loc, fcoeffs, consts, data, fdatas, bcm_f,
+                     bcv, rtol_, atol_, ksp_rtol_, ksp_atol_, damping_):
+                dl = self._squeeze0(data)
+                fdl = [self._squeeze0(fd) for fd in fdatas]
+                fcl = self._squeeze0(fcoeffs)
+                cl = {k: (v if v.ndim == 1 else v[0])
+                      for k, v in coeffs_loc.items()}
+                bcm = bcm_f[0] > 0.5
+                bcvl = bcv[0]
+                m0 = m0_const
+                bc1 = bcm_f[0] * (1.0 - m0)
+
+                def res(z):
+                    return self._local_residual(z, cl, fcl, consts, dl,
+                                                fdl, bcm, bcvl)
+
+                def pnorm(v):
+                    return jnp.sqrt(self._pdot(v, v))
+
+                def fsq(z):
+                    F = res(z)
+                    return self._pdot(F, F)
+
+                def do_linesearch(x, dx, fn):
+                    if linesearch == "none":
+                        return x + damping_ * dx, jnp.array(True)
+                    if linesearch == "l2":
+                        lam = damping_
+                        f_old = fn * fn
+                        f_mid = fsq(x + 0.5 * lam * dx)
+                        f_new = fsq(x + lam * dx)
+                        dF = (3.0 * f_new - 4.0 * f_mid + f_old) / lam
+                        d2F = 4.0 * (f_new - 2.0 * f_mid + f_old) / lam**2
+                        lam_t = jnp.where(jnp.abs(d2F) > 1e-300,
+                                          lam - dF / d2F, 0.5 * lam)
+                        lam_t = jnp.where(
+                            jnp.logical_and(jnp.isfinite(lam_t),
+                                            lam_t > 0.0),
+                            lam_t, 0.5 * lam)
+                        xn = x + lam_t * dx
+                        return xn, jnp.isfinite(fsq(xn))
+                    if linesearch == "bt":
+                        alpha_c = 1e-4
+                        g0 = 0.5 * fn * fn
+
+                        def cond_ls(s):
+                            i, lam, ok = s
+                            return jnp.logical_and(i < 16,
+                                                   jnp.logical_not(ok))
+
+                        def body_ls(s):
+                            i, lam, ok = s
+                            g = 0.5 * fsq(x + lam * dx)
+                            ok = jnp.logical_and(
+                                jnp.isfinite(g),
+                                g <= g0 - 2.0 * alpha_c * lam * g0)
+                            lam = jnp.where(ok, lam, 0.5 * lam)
+                            return i + 1, lam, ok
+
+                        _, lam, ok = jax.lax.while_loop(
+                            cond_ls, body_ls,
+                            (0, damping_, jnp.array(False)))
+                        return x + lam * dx, ok
+                    raise ValueError(
+                        f"unknown fused linesearch {linesearch!r}")
+
+                x = jnp.where(bcm, bcvl, x)
+                F = res(x)
+                f0n = pnorm(F)
+
+                def cond(s):
+                    it, x, F, fn, ls_ok = s
+                    live = jnp.logical_and(
+                        fn > jnp.maximum(rtol_ * f0n, atol_),
+                        jnp.isfinite(fn))
+                    return jnp.logical_and(
+                        jnp.logical_and(it < max_it, live), ls_ok)
+
+                def body(s):
+                    it, x, F, fn, _ = s
+
+                    def Av(v):
+                        return self._local_jac_action(x, v, cl, fcl,
+                                                      consts, dl, fdl, bcm)
+
+                    d = self._local_diagonal(x, cl, fcl, consts, dl, fdl,
+                                             bcm)
+                    if pc == "schur":
+                        Minv = self._schur_pc_matfree(
+                            Av, d, m0, bc1, cheb_steps=cheb_steps,
+                            power_iters=power_iters,
+                            lmin_ratio=lmin_ratio)
+                    else:
+                        dinv = jnp.where(jnp.abs(d) > 1e-300, 1.0 / d, 1.0)
+                        Minv = jnp.abs(dinv) if ksp == "minres" else dinv
+                    solver = self._minres if ksp == "minres" else self._cg
+                    dx = solver(Av, -F, Minv, ksp_rtol_, ksp_atol_,
+                                ksp_max_it)
+                    x, ls_ok = do_linesearch(x, dx, fn)
+                    F = res(x)
+                    return it + 1, x, F, pnorm(F), ls_ok
+
+                it, x, F, fn, ls_ok = jax.lax.while_loop(
+                    cond, body, (0, x, F, f0n, jnp.array(True)))
+                one = jnp.ones((), jnp.float64)
+                return (x, it * jnp.ones((), jnp.int32), fn * one,
+                        f0n * one, ls_ok)
+
+            jitted = jax.jit(shard_map(
+                kern, mesh=self.dmesh,
+                in_specs=(P(self.axis), P(self.axis), P(self.axis), P(),
+                          P(self.axis), P(self.axis), P(self.axis),
+                          P(self.axis), P(), P(), P(), P(), P()),
+                out_specs=(P(self.axis), P(), P(), P(), P()),
+                check_rep=False))
+            self._jits[key] = jitted
+
+        def fn(x_shard, coeffs=None, consts=None, facet_coeffs=None,
+               rtol=1e-8, atol=1e-50, ksp_rtol=1e-10, ksp_atol=0.0,
+               damping=1.0):
+            return jitted(x_shard, dict(coeffs or {}),
+                          dict(facet_coeffs or {}),
+                          dict(consts or self.consts), self.data_loc,
+                          tuple(self.facet_data_loc),
+                          jnp.asarray(np.asarray(self.bc_mask),
+                                      jnp.float64),
+                          self.bc_val, jnp.asarray(rtol), jnp.asarray(atol),
+                          jnp.asarray(ksp_rtol), jnp.asarray(ksp_atol),
+                          jnp.asarray(damping))
+
+        return fn
+
     # per-device memory accounting (for the scaling claim / tests)
     def per_device_dof_memory(self) -> int:
         """Bytes of dof-indexed state held per device (owned blocks)."""
         return self.Bsum * 8
+
+
+class DistributedLvppProblem:
+    """LVPPSolver-compatible facade over DistributedProblem (VERDICT r2
+    item 5: the LVPP driver — alpha schedules, retry machine, observables
+    — must drive the distributed path, matching how the reference's outer
+    loops drive the MPI-parallel SNESSolver, src/lvpp/problem.py:114-124).
+
+    Quacks like solve.nonlinear.NonlinearProblem for the driver: set_bc /
+    update / coeffs / consts / form, plus make_newton_solver() which
+    LVPPSolver uses instead of the host NewtonSolver. Coefficient values
+    passed to update() must already be sharded — use dp.scatter_coeff,
+    dp.scatter_cellq, or dp.field_to_coeff (the sharded psi_k <- psi
+    update)."""
+
+    def __init__(self, dp: DistributedProblem):
+        self.dp = dp
+        self.form = dp.form
+        self.space = dp.space
+        self.coeffs: Dict = {}
+        self.facet_coeffs: Dict = {}
+        self.consts: Dict = dict(getattr(dp, "consts", {}) or {})
+
+    def update(self, coeffs=None, consts=None, facet_coeffs=None):
+        if coeffs:
+            self.coeffs.update(coeffs)
+        if consts:
+            self.consts.update(consts)
+        if facet_coeffs:
+            self.facet_coeffs.update(facet_coeffs)
+
+    def set_bc(self, x_shard):
+        dp = self.dp
+        if "setbc" not in dp._jits:
+            dp._jits["setbc"] = jax.jit(
+                lambda x, m, v: jnp.where(m.reshape(-1), v.reshape(-1),
+                                          x))
+        return dp._jits["setbc"](jnp.asarray(x_shard, self.form.dtype),
+                                 dp.bc_mask, dp.bc_val)
+
+    def make_newton_solver(self, options=None, timer=None):
+        return DistributedNewtonSolver(self, options, timer)
+
+
+class DistributedNewtonSolver:
+    """NewtonSolver-compatible driver over fused_lvpp_newton, reusing the
+    SNES reason-code reconstruction of solve/newton.py so commit-on-
+    convergence and the fracture retry machine work unchanged on shards."""
+
+    def __init__(self, problem: DistributedLvppProblem, options=None,
+                 timer=None):
+        from ..core.config import SolverOptions
+        from ..core.logging import PhaseTimer
+        self.problem = problem
+        self.options = options if isinstance(options, SolverOptions) \
+            else SolverOptions(options or {})
+        self.timer = timer or PhaseTimer()
+
+    def solve(self, x_shard):
+        from ..core.logging import rank_print
+        from ..core.reasons import ConvergedReason, NotConvergedError
+        from ..solve.newton import NewtonResult
+        opts = self.options
+        prob = self.problem
+        ksp = str(opts.opt("ksp_type"))
+        if ksp in ("preonly",):
+            ksp = "minres"    # no distributed direct solve; MINRES stands in
+        pc = str(opts.opt("pc_type", "jacobi"))
+        if pc not in ("jacobi", "schur"):
+            pc = "jacobi"     # 'lu' (the host default) has no shard twin
+        fused = prob.dp.fused_lvpp_newton(
+            ksp=ksp, pc=pc,
+            linesearch=str(opts.opt("snes_linesearch_type")),
+            max_it=int(opts.opt("snes_max_it")),
+            ksp_max_it=int(opts.opt("ksp_max_it")),
+            schur_field0=opts.opt("pc_schur_field0", None),
+            cheb_steps=int(opts.opt("pc_schur_cheb_steps", 4)),
+            power_iters=int(opts.opt("pc_schur_power_iters", 8)),
+            lmin_ratio=float(opts.opt("pc_schur_lmin_ratio", 30.0)))
+        with self.timer.phase("newton_fused_distributed"):
+            x, it, fn, f0, ls_ok = fused(
+                x_shard, prob.coeffs, prob.consts, prob.facet_coeffs,
+                rtol=float(opts.opt("snes_rtol")),
+                atol=float(opts.opt("snes_atol")),
+                ksp_rtol=float(opts.opt("ksp_rtol")),
+                ksp_atol=float(opts.opt("ksp_atol")),
+                damping=float(opts.opt("snes_linesearch_damping")))
+            x.block_until_ready()
+        it = int(it)
+        fn = float(fn)
+        f0 = float(f0)
+        if not bool(ls_ok):
+            reason = ConvergedReason.DIVERGED_LINE_SEARCH
+        elif not np.isfinite(fn):
+            reason = ConvergedReason.DIVERGED_FNORM_NAN
+        elif fn < float(opts.opt("snes_atol")):
+            reason = ConvergedReason.CONVERGED_FNORM_ABS
+        elif fn <= float(opts.opt("snes_rtol")) * f0:
+            reason = ConvergedReason.CONVERGED_FNORM_RELATIVE
+        else:
+            reason = ConvergedReason.DIVERGED_MAX_IT
+        if opts.opt("snes_converged_reason"):
+            rank_print(f"Nonlinear solve converged due to {reason.name} "
+                       f"iterations {it}" if reason.converged else
+                       f"Nonlinear solve did not converge due to "
+                       f"{reason.name} iterations {it}")
+        if (not reason.converged) and opts.opt("snes_error_if_not_converged"):
+            raise NotConvergedError(reason)
+        return NewtonResult(x, reason, it, fn, [f0, fn])

@@ -157,8 +157,18 @@ class LVPPSolver:
                  checkpoint_every: int = 1,
                  timer: Optional[PhaseTimer] = None):
         self.problem = problem
-        self.newton = NewtonSolver(problem, SolverOptions(newton_options or {}),
-                                   timer=timer)
+        # distributed problems (parallel.dofpart.DistributedLvppProblem)
+        # manufacture their own fused shard_map Newton; everything else
+        # in this driver (alpha schedules, retry machine, observables,
+        # checkpoints) is solver-agnostic
+        make = getattr(problem, "make_newton_solver", None)
+        if make is not None:
+            self.newton = make(SolverOptions(newton_options or {}),
+                               timer=timer)
+        else:
+            self.newton = NewtonSolver(problem,
+                                       SolverOptions(newton_options or {}),
+                                       timer=timer)
         self.alpha = alpha or AlphaScheduler()
         self.prev_coeffs = prev_coeffs or (lambda x_k: {})
         self.increment = increment

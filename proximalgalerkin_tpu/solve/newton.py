@@ -64,6 +64,7 @@ class NewtonSolver:
         pc_opts = {k: opts[k] for k in ("pc_schur_cheb_steps",
                                         "pc_schur_power_iters",
                                         "pc_schur_lmin_ratio",
+                                        "pc_mg_nu",
                                         "ksp_refine_max") if k in opts}
         step = self.problem.direction_solver(
             ksp, pc, str(opts.opt("mat_type", "ell")),

@@ -171,26 +171,55 @@ class NonlinearProblem:
         bc_idx, bc_vals = self.bc_idx, self.bc_vals
         ell = self.ell_matrix if mat_type == "ell" else None
         if precision == "mixed" and (mat_type != "ell"
-                                     or pc not in ("jacobi", "schur")):
+                                     or pc not in ("jacobi", "schur",
+                                                   "schur_mg")):
             raise ValueError("precision='mixed' requires mat_type='ell' "
-                             "and pc in ('jacobi', 'schur')")
+                             "and pc in ('jacobi', 'schur', 'schur_mg')")
         pc_opts = dict(pc_opts or {})
 
         m0_np = bc1_np = None
-        if pc == "schur":
+        mg_setup = None
+        if pc in ("schur", "schur_mg"):
             if mat_type != "ell" or ksp != "minres":
-                raise ValueError("pc='schur' requires mat_type='ell' and "
+                raise ValueError(f"pc={pc!r} requires mat_type='ell' and "
                                  "ksp='minres'")
             # block0 = the invertible-diagonal block; comma-separated field
             # names cover multi-field latent blocks (eigenvalue constraints'
             # (psi1, psi2) pair)
             f0 = schur_field0 or self.space.names[0]
+            f0_names = [n.strip() for n in str(f0).split(",")]
             m0_np = np.zeros(self.space.num_dofs)
-            for name in str(f0).split(","):
-                m0_np[self.space.slice_of(name.strip())] = 1.0
+            for name in f0_names:
+                m0_np[self.space.slice_of(name)] = 1.0
             bc1_np = np.zeros(self.space.num_dofs)
             bci = np.asarray(self.bc_idx)
             bc1_np[bci] = 1.0 - m0_np[bci]
+        if pc == "schur_mg":
+            # lattice geometry of the (single, scalar) block1 field: its
+            # dofs must form a complete 2D lattice (P2 on uniform
+            # triangulations, Q_p on uniform quad grids)
+            from ..la.gmg import lattice_map, mg_levels_for
+            f1_names = [n for n in self.space.names if n not in f0_names]
+            if len(f1_names) != 1 or \
+                    self.space.spaces[f1_names[0]].value_size != 1:
+                raise ValueError("pc='schur_mg' needs exactly one scalar "
+                                 "block1 field")
+            f1 = f1_names[0]
+            fs1 = self.space.spaces[f1]
+            perm_loc, grid_shape = lattice_map(fs1.dof_points)
+            off1 = self.space.offsets[f1]
+            perm_np = off1 + perm_loc
+            bc_set = np.zeros(self.space.num_dofs, dtype=bool)
+            bc_set[np.asarray(self.bc_idx)] = True
+            free_np = (~bc_set[perm_np]).reshape(grid_shape)
+            levels = mg_levels_for(min(grid_shape))
+            mg_setup = (perm_np, grid_shape, free_np, levels)
+        mg_fmasks = []
+        if pc == "schur_mg":
+            for name in self.space.names:
+                fm = np.zeros(self.space.num_dofs)
+                fm[self.space.slice_of(name)] = 1.0
+                mg_fmasks.append(fm)
 
         def direction(x, F, coeffs, consts, rtol, atol, maxiter, cell_data,
                       ell_arrays, dx0=None):
@@ -210,13 +239,24 @@ class NonlinearProblem:
                     return y.at[bc_idx].add(v[bc_idx])
 
             b = -F
-            if pc == "schur":
-                from ..la.schur import make_schur_pc
+            if pc in ("schur", "schur_mg"):
+                from ..la.schur import make_schur_pc, make_schur_mg_pc
                 schur_kw = dict(
                     cheb_steps=int(pc_opts.get("pc_schur_cheb_steps", 4)),
                     power_iters=int(pc_opts.get("pc_schur_power_iters", 10)),
                     lmin_ratio=float(pc_opts.get("pc_schur_lmin_ratio",
                                                  30.0)))
+
+                def build_pc(d, m0_t, bc1_t):
+                    if pc == "schur":
+                        return make_schur_pc(ell, d, ell_arrays, m0_t,
+                                             bc1_t, **schur_kw)
+                    perm_np, grid_shape, free_np, levels = mg_setup
+                    return make_schur_mg_pc(
+                        ell, d, ell_arrays, m0_t, bc1_t,
+                        jnp.asarray(perm_np), grid_shape,
+                        jnp.asarray(free_np), levels,
+                        nu=int(pc_opts.get("pc_mg_nu", 2)))
                 # Symmetric Jacobi equilibration UNDER the Schur PC: the
                 # scaled system S A S (S = |diag|^-1/2) has unit-magnitude
                 # diagonal, which (a) keeps every Krylov inner product in
@@ -225,8 +265,25 @@ class NonlinearProblem:
                 # (b) hands make_schur_pc a ±1 block0 diagonal, the
                 # best-case for its diag(A00)^{-1} approximation.
                 d = ell.diagonal(data, ell_arrays)
-                s = jnp.where(jnp.abs(d) > 1e-300,
-                              1.0 / jnp.sqrt(jnp.abs(d)), 1.0)
+                if pc == "schur_mg":
+                    # per-FIELD scalar scaling only: per-dof equilibration
+                    # flattens the P2 vertex/edge diagonal pattern into a
+                    # checkerboard coefficient the V-cycle cannot smooth
+                    # (see make_schur_mg_pc); a field-constant scale keeps
+                    # magnitudes f32-safe while leaving the within-field
+                    # operator structure intact.
+                    s = jnp.zeros_like(d)
+                    for fm in mg_fmasks:
+                        fmj = jnp.asarray(fm, form.dtype)
+                        cnt = jnp.maximum(jnp.sum(fmj), 1.0)
+                        mean_d = jnp.sum(jnp.abs(d) * fmj) / cnt
+                        s = s + fmj / jnp.sqrt(jnp.maximum(mean_d, 1e-300))
+                    # bc rows stay identity in the scaled system (the +2bc1
+                    # Schur correction assumes unit bc diagonal)
+                    s = s.at[bc_idx].set(1.0)
+                else:
+                    s = jnp.where(jnp.abs(d) > 1e-300,
+                                  1.0 / jnp.sqrt(jnp.abs(d)), 1.0)
                 data_s = s[:, None] * data * s[ell_arrays["ell_cols"]]
                 m0 = jnp.asarray(m0_np, form.dtype)
                 bc1 = jnp.asarray(bc1_np, form.dtype)
@@ -241,9 +298,8 @@ class NonlinearProblem:
                     # tolerances — the round-3 MUMPS replacement.
                     f32 = jnp.float32
                     data32 = data_s.astype(f32)
-                    Minv32 = make_schur_pc(ell, data32, ell_arrays,
-                                           m0.astype(f32), bc1.astype(f32),
-                                           **schur_kw)
+                    Minv32 = build_pc(data32, m0.astype(f32),
+                                      bc1.astype(f32))
 
                     def Av32(v):
                         return ell.spmv(data32, v, ell_arrays)
@@ -258,8 +314,7 @@ class NonlinearProblem:
                                     int(pc_opts.get("ksp_refine_max", 30)),
                                     dx0=dx0)
 
-                Minv = make_schur_pc(ell, data_s, ell_arrays, m0, bc1,
-                                     **schur_kw)
+                Minv = build_pc(data_s, m0, bc1)
                 y0 = None if dx0 is None else dx0 / s
                 y = kry.minres(Av_s, s * b, x0=y0, tol=rtol, atol=atol,
                                maxiter=maxiter, Minv=Minv)

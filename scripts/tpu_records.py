@@ -45,14 +45,29 @@ try:
 except Exception:
     pass
 
-# Solver for runs of record: the models' default "preonly"+"lu" — device
-# (TPU) einsum assembly + host sparse LU, the same architecture as the
-# reference's MUMPS path, with exact directions so LVPP/Newton counts are
-# reference-matching. The all-device Krylov paths exist and are golden-
-# tested (tests/test_krylov.py, test_dofpart.py) but the axon TPU runtime
-# kernel-faults on sustained emulated-f64 Krylov loops, and f32-refined
-# directions stall at ~1e-6 on these condition numbers — documented in
-# RESULTS.md; revisit with GMG/Schur inner preconditioning.
+# Round-3 record solver: ALL-DEVICE directions — equilibrated block-Schur
+# MINRES in native f32 wrapped in f64 iterative refinement
+# (solve/nonlinear.py pc=schur + ksp_precision=mixed). Measured on the
+# gradient-constraint saddle (tests/test_gradient_constraint.py): relative
+# residuals ~1e-9, direction error vs LU ~1e-10 — past the round-2
+# fixed-2-pass refinement's ~1e-6 stall, so LVPP/Newton counts stay
+# reference-comparable without the 1-core host SuperLU bottleneck.
+# PGTPU_RECORD_LU=1 restores the host-LU architecture for cross-checks.
+import os as _os
+
+_USE_LU = _os.environ.get("PGTPU_RECORD_LU") == "1"
+
+
+def schur_mixed(field0, **kw):
+    if _USE_LU:
+        return {}
+    base = {"ksp_type": "minres", "pc_type": "schur",
+            "pc_schur_field0": field0, "ksp_precision": "mixed",
+            "ksp_max_it": 20000, "ksp_rtol": 1e-10, "ksp_refine_max": 12}
+    base.update(kw)
+    return base
+
+
 DEVICE_OPTS = {}
 
 
@@ -76,7 +91,7 @@ def gradient(N=200):
         solve_gradient_constraint)
     t0 = time.time()
     prob, res = solve_gradient_constraint(
-        N=N, solver_options=dict(DEVICE_OPTS), verbose=True)
+        N=N, solver_options=schur_mixed("psi"), verbose=True)
     _emit(f"gradient_constraint_{N}", time.time() - t0,
           {"lvpp": res.iterations, "newton": int(sum(res.newton_steps)),
            "converged": bool(res.converged)})
@@ -112,7 +127,8 @@ def eigenvalue(N=100):
     from proximalgalerkin_tpu.models.eigenvalue_constraints import (
         solve_eigenvalue_constraints)
     t0 = time.time()
-    r = solve_eigenvalue_constraints(N=N, verbose=True)
+    r = solve_eigenvalue_constraints(
+        N=N, solver_options=schur_mixed("psi1,psi2"), verbose=True)
     lo, hi = r.eigenvalue_range()
     _emit(f"eigenvalue_{N}", time.time() - t0,
           {"lvpp": int(r.lvpp.iterations),
@@ -125,10 +141,14 @@ def multiphase(N=50, steps=None):
     dt = 1e-5
     T = 7e-3 if steps is None else steps * dt
     t0 = time.time()
-    r = solve_multiphase(N=N, M=N, tau0=dt, T=T, verbose=True)
+    # resumable: snapshot every 10 steps + per-step JSONL so an interrupted
+    # multi-hour run keeps its iteration arrays and restarts where it died
+    r = solve_multiphase(N=N, M=N, tau0=dt, T=T, verbose=True,
+                         checkpoint_path=f"/tmp/ck_multiphase_{N}.npz",
+                         progress_jsonl=f"/tmp/rec_multiphase_{N}.jsonl")
     _emit(f"multiphase_{N}", time.time() - t0,
           {"steps": len(r.newton_iterations),
-           "newton": int(sum(r.newton_iterations))})
+           "newton": int(np.sum(r.newton_iterations))})
 
 
 def monge_ampere(kmax=14):
@@ -144,9 +164,13 @@ def fracture(steps=1001, res=0.05):
     from proximalgalerkin_tpu.models.fracture import solve_fracture
     t0 = time.time()
     r = solve_fracture(num_load_steps=steps, Tmax=5.0, max_res=res,
-                       verbose=True)
+                       solver_options=schur_mixed("psi", ksp_max_it=4000),
+                       verbose=True,
+                       checkpoint_path=f"/tmp/ck_fracture_{steps}.npz",
+                       progress_jsonl=f"/tmp/rec_fracture_{steps}.jsonl")
     _emit(f"fracture_{steps}", time.time() - t0,
-          {"newton": int(sum(r.newton_per_step)),
+          {"steps": len(r.newton_per_step),
+           "newton": int(sum(r.newton_per_step)),
            "max_damage": float(max(r.max_damage_history or [0.0])),
            "broken": bool(r.broken)})
 
