@@ -224,6 +224,20 @@ class P1ObstacleSolver:
                     diag_ones=self.ell.arrays["diag_ones"].astype(
                         jnp.float32))
 
+        # Pallas fused-CG (ops/pallas_cg.py): the inner f32 CG iteration as
+        # two kernels instead of ~12 latency-bound XLA ops — the round-3
+        # bandwidth lever. Only meaningful with the DIA operator (the
+        # kernel's SpMV is static diagonal shifts) and the mixed path.
+        self._fused_cg = None
+        if mixed_precision and use_dia and self.dia is not None:
+            import os as _os
+            from ..ops import pallas_cg
+            force = _os.environ.get("PGTPU_PALLAS") == "force"
+            if pallas_cg.available() or force:
+                self._fused_cg = pallas_cg.make_fused_dia_cg(
+                    self.dia.offsets, N, dtype=jnp.float32,
+                    interpret=force and not pallas_cg.available())
+
         dia = self.dia
         if dia is not None:
             def _spmv(Ad, v, ea):
@@ -239,6 +253,7 @@ class P1ObstacleSolver:
                 return self.ell.diagonal(Ad, ea)
 
         ell = self.ell
+        fused_cg = self._fused_cg
         interior = self.interior
         M_L = self.M_L
         phi = self.phi
@@ -336,11 +351,48 @@ class P1ObstacleSolver:
                             alpha32 * _spmv(A32, vf, ea32) + m2d32 * v, v)
                         return y * sqinv32
 
-                    def solve32(b64):
-                        bt = (b64 * sqinv).astype(f32)
-                        xt, its = _cg(S32t, bt, ones32,
-                                      max(cg_tol_, 2e-6), cg_max_)
-                        return (xt.astype(u.dtype) * sqinv), its
+                    if fused_cg is not None:
+                        # fold the masked/scaled Schur operator into ONE
+                        # effective DIA matrix so the Pallas kernel's SpMV
+                        # is plain diagonal shifts:
+                        #   eff[d,i] = fs[i] * alpha * A[d,i] * fs[i+off]
+                        #   eff[0,i] += m2d[i]/diagS[i] + (1-free[i])/diagS
+                        # (fs = free * diagS^{-1/2}; identity rows of the
+                        # scaled system have diagS = 1)
+                        fs = jnp.where(free, sqinv32,
+                                       jnp.asarray(0.0, f32))
+
+                        def _shift(v, off):
+                            if off == 0:
+                                return v
+                            if off > 0:
+                                return jnp.concatenate(
+                                    [v[off:], jnp.zeros((off,), v.dtype)])
+                            k_ = -off
+                            return jnp.concatenate(
+                                [jnp.zeros((k_,), v.dtype), v[:-k_]])
+
+                        rows32 = []
+                        for k_, off in enumerate(dia.offsets):
+                            r32 = fs * alpha32 * A32[k_] * _shift(fs, off)
+                            if off == 0:
+                                r32 = (r32 + m2d32 * sqinv32 * sqinv32
+                                       + jnp.where(free, 0.0, 1.0).astype(
+                                           f32) * sqinv32 * sqinv32)
+                            rows32.append(r32)
+                        data_eff = jnp.stack(rows32)
+
+                        def solve32(b64):
+                            bt = (b64 * sqinv).astype(f32)
+                            xt, its = fused_cg(data_eff, bt,
+                                               max(cg_tol_, 2e-6), cg_max_)
+                            return (xt.astype(u.dtype) * sqinv), its
+                    else:
+                        def solve32(b64):
+                            bt = (b64 * sqinv).astype(f32)
+                            xt, its = _cg(S32t, bt, ones32,
+                                          max(cg_tol_, 2e-6), cg_max_)
+                            return (xt.astype(u.dtype) * sqinv), its
 
                     w, cg_its = solve32(rhs)
                     rhsn2 = jnp.vdot(rhs, rhs)
