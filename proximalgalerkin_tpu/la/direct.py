@@ -17,22 +17,37 @@ import numpy as np
 import scipy.sparse.linalg as spla
 
 
-_mmd_ok = True
+_best_spec: dict = {}
 
 
 def _splu(A_csc):
-    # MMD halves fill on most LVPP systems but its elimination-order
-    # memory estimate can EXCEED COLAMD's on wide-stencil blocks (observed
-    # OOM on the 200^2 qdeg-10 gradient-constraint Jacobian where COLAMD
-    # factored fine) — after one failure, stick to COLAMD for the process
-    # rather than re-paying the failed attempt every Newton step.
-    global _mmd_ok
-    if _mmd_ok:
-        try:
-            return spla.splu(A_csc, permc_spec="MMD_AT_PLUS_A")
-        except Exception:
-            _mmd_ok = False
-    return spla.splu(A_csc)
+    # No ordering wins everywhere: MMD_AT_PLUS_A halves fill and time on
+    # the 240k-dof gradient-constraint Jacobian (12.7 s vs COLAMD 21.6 s)
+    # but is 60x WORSE on the 5.7k fracture Jacobian (6.45 s / 6.8M fill
+    # vs COLAMD 0.105 s / 0.94M — measured), which round 2's MMD-first
+    # policy turned into a 45 h record pace. MMD can also OOM where COLAMD
+    # factors fine (200^2 qdeg-10 gradient system). So: race both once
+    # per sparsity pattern (keyed by shape+nnz, which is fixed across
+    # Newton steps of one problem) and keep the faster for the process.
+    import time as _time
+    key = (A_csc.shape[0], A_csc.nnz)
+    spec = _best_spec.get(key)
+    if spec is not None:
+        return spla.splu(A_csc, permc_spec=spec)
+    t0 = _time.time()
+    lu_col = spla.splu(A_csc, permc_spec="COLAMD")
+    t_col = _time.time() - t0
+    try:
+        t0 = _time.time()
+        lu_mmd = spla.splu(A_csc, permc_spec="MMD_AT_PLUS_A")
+        t_mmd = _time.time() - t0
+    except Exception:
+        t_mmd, lu_mmd = float("inf"), None
+    if t_mmd < t_col:
+        _best_spec[key] = "MMD_AT_PLUS_A"
+        return lu_mmd
+    _best_spec[key] = "COLAMD"
+    return lu_col
 
 
 def lu_solve(A_csr, b: np.ndarray) -> np.ndarray:

@@ -204,6 +204,11 @@ def solve_fracture(
         problem.bc_idx = jnp.asarray(bc_idx)
         problem.bc_vals = jnp.asarray(bc_vals)
 
+        # the reference resets the proximal parameter at every load step
+        # (fracture_dolfinx.py:215 `alpha.value = 1`); carrying it across
+        # steps lets the doubling rule grow it without bound until Newton
+        # wedges (observed: alpha ~1e9, 61 Newton its/step)
+        alpha = 1.0
         x_iter = x
         k, nfail = 1, 0
         newton_count = 0

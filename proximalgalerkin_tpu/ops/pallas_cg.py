@@ -50,20 +50,40 @@ LANES = 128
 BR = 512          # block rows: 512*128 = 65,536 elements = 256 KB f32
 
 
+def _corner_block(val, dtype):
+    """(8, LANES) block with `val` at [0, 0], zeros elsewhere — Mosaic
+    rejects scalar stores to VMEM, so partial dots are written as whole
+    vector blocks built from a mask."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+    mask = jnp.logical_and(row == 0, col == 0)
+    return jnp.where(mask, val.astype(dtype), jnp.zeros((8, LANES), dtype))
+
+
 def _halo_rows(offsets) -> int:
+    """Halo row count, rounded up to a multiple of 8: the manual HBM->VMEM
+    DMA starts at row i*BR - halo, and the TPU runtime faults on DMA row
+    offsets that are not sublane (8-row) aligned (bisected on-chip: halo=2
+    kernel-faults, halo=8 runs)."""
     m = max(abs(int(o)) for o in offsets)
-    return -(-m // LANES) + 1
+    h = -(-m // LANES) + 1
+    return -(-h // 8) * 8
 
 
 def _shift_window(x_ext, t: int, s: int, br: int):
     """(br,128) window of the flat vector starting at flat offset
     t*128 + s within x_ext: window[a,b] = x_ext_flat[(t+a)*128 + s + b].
-    Static slices only (t, s are python ints from the DIA offsets)."""
+
+    Lane shifts (s != 0) are a rotate+select rather than an unaligned
+    concatenate: Mosaic lowers pltpu.roll to tpu.dynamic_rotate but
+    crashes on lane-concatenating slices with unaligned offsets."""
     if s == 0:
         return x_ext[t:t + br, :]
-    left = x_ext[t:t + br, s:]
-    right = x_ext[t + 1:t + br + 1, :s]
-    return jnp.concatenate([left, right], axis=1)
+    shift = jnp.asarray(LANES - s, jnp.int32)  # i32: x64 literals break Mosaic
+    y0 = pltpu.roll(x_ext[t:t + br, :], shift, 1)
+    y1 = pltpu.roll(x_ext[t + 1:t + br + 1, :], shift, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 1)
+    return jnp.where(col < LANES - s, y0, y1)
 
 
 def available() -> bool:
@@ -96,20 +116,18 @@ def make_fused_dia_cg(offsets: Tuple[int, ...], n: int, dtype=jnp.float32,
     nd = len(offsets)
 
     def k1_kernel(beta_ref, p_hbm, r_hbm, d_ref, pout_ref, ap_ref,
-                  dot_ref, scratch_p, scratch_r, sems):
+                  dot_ref, scratch_p, scratch_r, sem_p, sem_r):
         i = pl.program_id(0)
         center = jnp.logical_and(i >= 1, i <= J)
 
         @pl.when(center)
         def _():
-            beta = beta_ref[0]
+            beta = beta_ref[0, 0]
             base = i * BR - halo
             cp = pltpu.make_async_copy(
-                p_hbm.at[pl.ds(base, BR + 2 * halo), :], scratch_p,
-                sems.at[0])
+                p_hbm.at[pl.ds(base, BR + 2 * halo), :], scratch_p, sem_p)
             cr = pltpu.make_async_copy(
-                r_hbm.at[pl.ds(base, BR + 2 * halo), :], scratch_r,
-                sems.at[1])
+                r_hbm.at[pl.ds(base, BR + 2 * halo), :], scratch_r, sem_r)
             cp.start()
             cr.start()
             cp.wait()
@@ -122,27 +140,40 @@ def make_fused_dia_cg(offsets: Tuple[int, ...], n: int, dtype=jnp.float32,
             pown = pext[halo:halo + BR, :]
             pout_ref[:] = pown
             ap_ref[:] = y
-            dot_ref[0, 0] = jnp.sum(pown * y)
+            dot_ref[:] = _corner_block(jnp.sum(pown * y), dot_ref.dtype)
 
         @pl.when(jnp.logical_not(center))
         def _():
             pout_ref[:] = jnp.zeros((BR, LANES), pout_ref.dtype)
             ap_ref[:] = jnp.zeros((BR, LANES), ap_ref.dtype)
-            dot_ref[0, 0] = jnp.asarray(0.0, dot_ref.dtype)
+            dot_ref[:] = jnp.zeros((8, LANES), dot_ref.dtype)
 
     def k2_kernel(a_ref, x_ref, r_ref, p_ref, ap_ref, xo_ref, ro_ref,
                   rr_ref):
-        a = a_ref[0]
+        a = a_ref[0, 0]
         x = x_ref[:] + a * p_ref[:]
         r = r_ref[:] - a * ap_ref[:]
         xo_ref[:] = x
         ro_ref[:] = r
-        rr_ref[0, 0] = jnp.sum(r * r)
+        rr_ref[:] = _corner_block(jnp.sum(r * r), rr_ref.dtype)
 
     vblock = lambda: pl.BlockSpec((BR, LANES), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)
 
+    # x64 must be off while tracing the pallas_call: the package enables it
+    # globally, and i64 BlockSpec index maps fail Mosaic legalization
+    # ("func.return (i64, i64)"). All operands are f32, so the scoped
+    # disable changes only the index-map/iota trace dtypes. For the f64
+    # interpret-mode golden (CPU CI) the scope must stay x64-on.
+    from contextlib import nullcontext
+    _x32 = jnp.dtype(dtype).itemsize <= 4
+    _trace_ctx = (lambda: jax.enable_x64(False)) if _x32 else nullcontext
+
     def k1_call(beta, p_pad, r_pad, dpack):
+        with _trace_ctx():
+            return _k1_call(beta, p_pad, r_pad, dpack)
+
+    def _k1_call(beta, p_pad, r_pad, dpack):
         return pl.pallas_call(
             k1_kernel,
             grid=(J + 2,),
@@ -154,38 +185,43 @@ def make_fused_dia_cg(offsets: Tuple[int, ...], n: int, dtype=jnp.float32,
                              lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=[vblock(), vblock(),
-                       pl.BlockSpec((1, 1), lambda i: (i, 0),
-                                    memory_space=pltpu.SMEM)],
+                       pl.BlockSpec((8, LANES), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)],
             out_shape=[
                 jax.ShapeDtypeStruct((P, LANES), dtype),
                 jax.ShapeDtypeStruct((P, LANES), dtype),
-                jax.ShapeDtypeStruct((J + 2, 1), dtype),
+                jax.ShapeDtypeStruct(((J + 2) * 8, LANES), dtype),
             ],
             scratch_shapes=[
                 pltpu.VMEM((BR + 2 * halo, LANES), dtype),
                 pltpu.VMEM((BR + 2 * halo, LANES), dtype),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
-        )(jnp.asarray([beta], dtype), p_pad, r_pad, dpack)
+        )(jnp.asarray([[beta]], dtype), p_pad, r_pad, dpack)
 
     def k2_call(a, x, r_pad, p_pad, ap):
+        with _trace_ctx():
+            return _k2_call(a, x, r_pad, p_pad, ap)
+
+    def _k2_call(a, x, r_pad, p_pad, ap):
         return pl.pallas_call(
             k2_kernel,
             grid=(J + 2,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                       vblock(), vblock(), vblock(), vblock()],
             out_specs=[vblock(), vblock(),
-                       pl.BlockSpec((1, 1), lambda i: (i, 0),
-                                    memory_space=pltpu.SMEM)],
+                       pl.BlockSpec((8, LANES), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)],
             out_shape=[
                 jax.ShapeDtypeStruct((P, LANES), dtype),
                 jax.ShapeDtypeStruct((P, LANES), dtype),
-                jax.ShapeDtypeStruct((J + 2, 1), dtype),
+                jax.ShapeDtypeStruct(((J + 2) * 8, LANES), dtype),
             ],
             input_output_aliases={1: 0, 2: 1},
             interpret=interpret,
-        )(jnp.asarray([a], dtype), x, r_pad, p_pad, ap)
+        )(jnp.asarray([[a]], dtype), x, r_pad, p_pad, ap)
 
     def pack_vec(v):
         flat = jnp.zeros(n_pad, dtype).at[:n].set(v.astype(dtype))
