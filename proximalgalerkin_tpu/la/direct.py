@@ -37,6 +37,15 @@ def _splu(A_csc):
     t0 = _time.time()
     lu_col = spla.splu(A_csc, permc_spec="COLAMD")
     t_col = _time.time() - t0
+    if t_col < 5.0:
+        # Don't race MMD when COLAMD is already fast: MMD's upside here is
+        # < t_col per factor, while its downside is unbounded — on the 61k
+        # multiphase saddle MMD fill-in ran >16 min / >7 GB RSS (measured
+        # round 3) vs COLAMD's seconds, wedging the 700-step record inside
+        # its first Newton direction. MMD only ever won in the slow-factor
+        # regime (240k-dof gradient system: 21.6 s COLAMD vs 12.7 s MMD).
+        _best_spec[key] = "COLAMD"
+        return lu_col
     try:
         t0 = _time.time()
         lu_mmd = spla.splu(A_csc, permc_spec="MMD_AT_PLUS_A")

@@ -54,8 +54,15 @@ except Exception:
 # reference-comparable without the 1-core host SuperLU bottleneck.
 # PGTPU_RECORD_LU=1 restores the host-LU architecture for cross-checks.
 import os as _os
+import pathlib as _pathlib
 
 _USE_LU = _os.environ.get("PGTPU_RECORD_LU") == "1"
+
+# checkpoints/progress must survive host reboots (round-3 lesson: /tmp is
+# wiped on reboot and the round-2 runs lost ~7 h of progress) — keep them
+# in the repo's records/ dir, which also gets committed with the round.
+RECDIR = _pathlib.Path(__file__).resolve().parent.parent / "records"
+RECDIR.mkdir(exist_ok=True)
 
 
 def schur_mixed(field0, **kw):
@@ -144,8 +151,9 @@ def multiphase(N=50, steps=None):
     # resumable: snapshot every 10 steps + per-step JSONL so an interrupted
     # multi-hour run keeps its iteration arrays and restarts where it died
     r = solve_multiphase(N=N, M=N, tau0=dt, T=T, verbose=True,
-                         checkpoint_path=f"/tmp/ck_multiphase_{N}.npz",
-                         progress_jsonl=f"/tmp/rec_multiphase_{N}.jsonl")
+                         solver_options=dict(DEVICE_OPTS),
+                         checkpoint_path=str(RECDIR / f"ck_multiphase_{N}.npz"),
+                         progress_jsonl=str(RECDIR / f"rec_multiphase_{N}.jsonl"))
     _emit(f"multiphase_{N}", time.time() - t0,
           {"steps": len(r.newton_iterations),
            "newton": int(np.sum(r.newton_iterations))})
@@ -166,8 +174,8 @@ def fracture(steps=1001, res=0.05):
     r = solve_fracture(num_load_steps=steps, Tmax=5.0, max_res=res,
                        solver_options=schur_mixed("psi", ksp_max_it=4000),
                        verbose=True,
-                       checkpoint_path=f"/tmp/ck_fracture_{steps}.npz",
-                       progress_jsonl=f"/tmp/rec_fracture_{steps}.jsonl")
+                       checkpoint_path=str(RECDIR / f"ck_fracture_{steps}.npz"),
+                       progress_jsonl=str(RECDIR / f"rec_fracture_{steps}.jsonl"))
     _emit(f"fracture_{steps}", time.time() - t0,
           {"steps": len(r.newton_per_step),
            "newton": int(sum(r.newton_per_step)),
