@@ -220,3 +220,24 @@ def test_element_matrices_chunked_matches_unchunked(monkeypatch):
     assert np.abs(F2 - ref_F).max() < 1e-13
     d2 = np.asarray(form2.jacobian_diagonal(x, coeffs, consts))
     assert np.abs(d2 - ref_d).max() < 1e-13
+
+
+def test_ell_pattern_disk_cache():
+    """EllPattern.build round-trips through the content-addressed disk
+    cache: a second build with identical inputs loads the cached arrays
+    bit-exactly, and different inputs miss (fresh build, not a stale hit)."""
+    from proximalgalerkin_tpu.la import ell as ell_mod
+
+    rng = np.random.default_rng(0)
+    gi = rng.integers(0, 200, size=(120, 6))
+    bc = np.array([0, 5, 7])
+    p1 = ell_mod.EllPattern.build(gi, 200, bc)
+    p2 = ell_mod.EllPattern.build(gi, 200, bc)
+    for name in ("slot_map", "keep", "diag_ones", "ell_gather", "ell_cols"):
+        assert np.array_equal(getattr(p1, name), getattr(p2, name)), name
+    assert (p1.nnz, p1.width, p1.num_dofs) == (p2.nnz, p2.width, p2.num_dofs)
+
+    # different bc set must change keep/diag_ones (cache keyed on bc too)
+    p3 = ell_mod.EllPattern.build(gi, 200, np.array([0, 5]))
+    assert not np.array_equal(p1.keep, p3.keep) or not np.array_equal(
+        p1.diag_ones, p3.diag_ones)
