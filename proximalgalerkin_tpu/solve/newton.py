@@ -57,9 +57,14 @@ class NewtonSolver:
         ksp = opts.opt("ksp_type")
         pc = opts.opt("pc_type")
         if ksp == "preonly" or pc == "lu":
+            lag = int(opts.opt("pc_factor_lag", 0) or 0)
+            ordering = str(opts.opt("pc_factor_ordering", "auto"))
             with self.timer.phase("linear_solve_lu"):
-                A = self.problem.jacobian_scipy(x)
-                dx = LUFactorization(A).solve(np.asarray(-F))
+                if not lag and ordering == "auto":
+                    A = self.problem.jacobian_scipy(x)
+                    dx = LUFactorization(A).solve(np.asarray(-F))
+                else:
+                    dx = self._lu_direction(x, F, lag, ordering)
             return jnp.asarray(dx, F.dtype)
         pc_opts = {k: opts[k] for k in ("pc_schur_cheb_steps",
                                         "pc_schur_power_iters",
@@ -96,6 +101,95 @@ class NewtonSolver:
                     break
             dx.block_until_ready()
         return dx
+
+    # ------------------------------------------------- lagged/ordered LU
+
+    def _lu_direction(self, x, F, lag, ordering):
+        """Host-LU direction with fill-reducing pre-ordering and
+        factorization reuse (PETSc ``-snes_lag_jacobian`` /
+        ``KSPSetReusePreconditioner`` analogue, the role MUMPS ordering +
+        factor reuse plays in every reference example).
+
+        ``ordering='nd'`` pre-permutes with geometric nested dissection
+        (la/ordering.py) and an automatic within-node field rotation so
+        static pivoting is safe on LVPP saddle blocks. ``lag != 0`` keeps
+        the factorization across Newton iterations *and* solves; the
+        stale factor is applied as a preconditioner for iterative
+        refinement against the CURRENT matrix-free Jacobian action, so
+        accepted directions satisfy ksp_rtol for the true Jacobian and
+        Newton counts match the refactor-every-step path. A refactor is
+        triggered only when refinement stops contracting (0.7 ratio)."""
+        prob = self.problem
+        opts = self.options
+        b = -np.asarray(F)
+        bnorm = float(np.linalg.norm(b))
+        tol = max(float(opts.opt("ksp_rtol")) * bnorm,
+                  float(opts.opt("ksp_atol")))
+        refine_max = int(opts.opt("pc_factor_refine_max", 6) or 6)
+        Av = prob.jacobian_action(x)
+        xdt = F.dtype
+
+        def refine(lu, fresh):
+            dx = lu.solve(b)
+            rn_prev = None
+            for _ in range(refine_max):
+                r = b - np.asarray(Av(jnp.asarray(dx, xdt)))
+                rn = float(np.linalg.norm(r))
+                if not np.isfinite(rn):
+                    return dx, fresh
+                if rn <= tol:
+                    return dx, True
+                if rn_prev is not None and rn > 0.7 * rn_prev and not fresh:
+                    return dx, False
+                rn_prev = rn
+                dx = dx + lu.solve(r)
+            # fresh factor: roundoff-limited, accept (preonly semantics);
+            # stale factor: signal for a refactor
+            return dx, fresh
+
+        lu = getattr(self, "_lagged_lu", None)
+        if lu is not None:
+            dx, ok = refine(lu, fresh=False)
+            if ok:
+                return dx
+        A = prob.jacobian_scipy(x)
+        perms = self._nd_permutations(A, ordering)
+        if perms is None:
+            lu = LUFactorization(A)
+        else:
+            perm_r, perm_c, thresh = perms
+            lu = LUFactorization(A, perm_r=perm_r, perm_c=perm_c,
+                                 pivot_thresh=thresh)
+        if lag:
+            self._lagged_lu = lu
+        dx, _ = refine(lu, fresh=True)
+        return dx
+
+    def _nd_permutations(self, A, ordering):
+        """Cached (perm_r, perm_c, pivot_thresh) for this problem's
+        pattern, or None for SuperLU's own ordering."""
+        if ordering not in ("nd", "nd_sym"):
+            return None
+        if hasattr(self, "_nd_perm_cache"):
+            return self._nd_perm_cache
+        from ..la.ordering import (best_field_rotation, block_permutations,
+                                   coordinate_nd_order, node_adjacency)
+        data = self.problem.nd_ordering_data()
+        if data is None:
+            self._nd_perm_cache = None
+            return None
+        dof_nodes, field_of, node_pts = data
+        adj = node_adjacency(A, dof_nodes, node_pts.shape[0])
+        node_order = coordinate_nd_order(adj, node_pts)
+        rotation = None if ordering == "nd_sym" else \
+            best_field_rotation(A, dof_nodes, field_of)
+        perm_r, perm_c = block_permutations(dof_nodes, node_order,
+                                            field_of, rotation)
+        default_thresh = 0.0 if rotation is not None else 0.01
+        thresh = float(self.options.opt("pc_factor_pivot_thresh",
+                                        default_thresh))
+        self._nd_perm_cache = (perm_r, perm_c, thresh)
+        return self._nd_perm_cache
 
     # -------------------------------------------------------- linesearch
 

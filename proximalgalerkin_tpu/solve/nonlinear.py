@@ -598,3 +598,30 @@ class NonlinearProblem:
     def jacobian_diagonal(self, x):
         d = self.form.jacobian_diagonal(x, self.coeffs, self.consts)
         return d.at[self.bc_idx].set(1.0)
+
+    def nd_ordering_data(self):
+        """(dof_nodes, field_of, node_pts) for la/ordering's geometric
+        nested dissection: every dof carrying the same physical point
+        (across fields and vector components) joins one supernode, the
+        granularity at which MUMPS/METIS orders node-block FEM systems."""
+        if hasattr(self, "_nd_data"):
+            return self._nd_data
+        space = self.space
+        nd = space.num_dofs
+        gdim = space.mesh.gdim
+        P = np.zeros((nd, gdim))
+        field_of = np.empty(nd, dtype=np.int64)
+        for fi, name in enumerate(space.names):
+            S = space.spaces[name]
+            sl = space.slice_of(name)
+            field_of[sl] = fi
+            local = np.arange(sl.stop - sl.start)
+            P[sl] = S.dof_points[local // max(S.value_size, 1)]
+        span = max(float(P.max() - P.min()), 1.0)
+        quant = np.round(P / (1e-8 * span)).astype(np.int64)
+        _, dof_nodes = np.unique(quant, axis=0, return_inverse=True)
+        n_nodes = int(dof_nodes.max()) + 1
+        node_pts = np.zeros((n_nodes, gdim))
+        node_pts[dof_nodes] = P
+        self._nd_data = (dof_nodes.astype(np.int64), field_of, node_pts)
+        return self._nd_data
