@@ -93,3 +93,40 @@ class LUFactorization:
         x = np.empty_like(y)
         x[self._perm_c] = y
         return x
+
+
+class PermutedFactorizer:
+    """Caches the (pattern-fixed) data gather from a CSR matrix to its
+    ND-permuted CSC form, so repeated refactorizations skip scipy's
+    generic two-sided fancy indexing (~1.5 s at 5M nnz -> ~50 ms).
+
+    The role MUMPS's separated analyze/factorize phases play in the
+    reference (symbolic once, numeric per Newton step)."""
+
+    def __init__(self, A_csr, perm_r, perm_c, pivot_thresh=0.0):
+        import scipy.sparse as sp
+        self.perm_r = np.asarray(perm_r)
+        self.perm_c = np.asarray(perm_c)
+        self.pivot_thresh = pivot_thresh
+        tag = A_csr.copy()
+        # float64 holds integers exactly to 2^53; +1 so no stored entry
+        # becomes a prunable zero
+        tag.data = np.arange(1, tag.nnz + 1, dtype=np.float64)
+        Ap = tag[self.perm_r][:, self.perm_c].tocsc()
+        self._datamap = (Ap.data - 1.0).astype(np.int64)
+        self._indices = Ap.indices
+        self._indptr = Ap.indptr
+        self._shape = Ap.shape
+        self._sp = sp
+
+    def factor(self, A_csr) -> "LUFactorization":
+        Ap = self._sp.csc_matrix(
+            (A_csr.data[self._datamap], self._indices, self._indptr),
+            shape=self._shape)
+        lu = LUFactorization.__new__(LUFactorization)
+        lu._perm_r = self.perm_r
+        lu._perm_c = self.perm_c
+        kw = {} if self.pivot_thresh is None else \
+            dict(diag_pivot_thresh=self.pivot_thresh)
+        lu._lu = spla.splu(Ap, permc_spec="NATURAL", **kw)
+        return lu

@@ -125,27 +125,50 @@ class NewtonSolver:
         bnorm = float(np.linalg.norm(b))
         tol = max(float(opts.opt("ksp_rtol")) * bnorm,
                   float(opts.opt("ksp_atol")))
-        refine_max = int(opts.opt("pc_factor_refine_max", 6) or 6)
+        refine_max = int(opts.opt("pc_factor_refine_max", 20) or 20)
         Av = prob.jacobian_action(x)
         xdt = F.dtype
 
+        def resid(dx):
+            return b - np.asarray(Av(jnp.asarray(dx, xdt)))
+
         def refine(lu, fresh):
+            """Richardson refinement while it contracts well; on slow
+            contraction fall back to stale-LU-preconditioned GMRES (the
+            stale factor is often a fine Krylov PC even where Richardson
+            diverges, e.g. right after a large Newton step moved the
+            softmax' interface). Refactor only if both fail - a refactor
+            costs ~7 s (assembly + factor) vs ~0.1 s per refine pass."""
             dx = lu.solve(b)
             rn_prev = None
             for _ in range(refine_max):
-                r = b - np.asarray(Av(jnp.asarray(dx, xdt)))
+                r = resid(dx)
                 rn = float(np.linalg.norm(r))
                 if not np.isfinite(rn):
                     return dx, fresh
                 if rn <= tol:
                     return dx, True
-                if rn_prev is not None and rn > 0.7 * rn_prev and not fresh:
-                    return dx, False
+                if rn_prev is not None and rn > 0.5 * rn_prev and not fresh:
+                    break
                 rn_prev = rn
                 dx = dx + lu.solve(r)
-            # fresh factor: roundoff-limited, accept (preonly semantics);
-            # stale factor: signal for a refactor
-            return dx, fresh
+            else:
+                # refine_max exhausted while still contracting
+                return dx, fresh
+            # slow contraction / divergence: Krylov with stale-LU PC
+            import scipy.sparse.linalg as _spla
+            n = b.shape[0]
+            op = _spla.LinearOperator(
+                (n, n), matvec=lambda v: np.asarray(
+                    Av(jnp.asarray(v, xdt))))
+            M = _spla.LinearOperator((n, n), matvec=lu.solve)
+            dx, info = _spla.gmres(op, b, x0=dx, M=M, rtol=tol / bnorm,
+                                   atol=0.5 * tol, restart=refine_max,
+                                   maxiter=1)
+            if info == 0:
+                return dx, True
+            rn = float(np.linalg.norm(resid(dx)))
+            return dx, rn <= tol or fresh
 
         lu = getattr(self, "_lagged_lu", None)
         if lu is not None:
@@ -153,30 +176,26 @@ class NewtonSolver:
             if ok:
                 return dx
         A = prob.jacobian_scipy(x)
-        perms = self._nd_permutations(A, ordering)
-        if perms is None:
-            lu = LUFactorization(A)
-        else:
-            perm_r, perm_c, thresh = perms
-            lu = LUFactorization(A, perm_r=perm_r, perm_c=perm_c,
-                                 pivot_thresh=thresh)
+        factorizer = self._nd_factorizer(A, ordering)
+        lu = LUFactorization(A) if factorizer is None else factorizer.factor(A)
         if lag:
             self._lagged_lu = lu
         dx, _ = refine(lu, fresh=True)
         return dx
 
-    def _nd_permutations(self, A, ordering):
-        """Cached (perm_r, perm_c, pivot_thresh) for this problem's
-        pattern, or None for SuperLU's own ordering."""
+    def _nd_factorizer(self, A, ordering):
+        """Cached PermutedFactorizer (ND permutations + data gather map)
+        for this problem's pattern, or None for SuperLU's own ordering."""
         if ordering not in ("nd", "nd_sym"):
             return None
-        if hasattr(self, "_nd_perm_cache"):
-            return self._nd_perm_cache
+        if hasattr(self, "_nd_fact_cache"):
+            return self._nd_fact_cache
+        from ..la.direct import PermutedFactorizer
         from ..la.ordering import (best_field_rotation, block_permutations,
                                    coordinate_nd_order, node_adjacency)
         data = self.problem.nd_ordering_data()
         if data is None:
-            self._nd_perm_cache = None
+            self._nd_fact_cache = None
             return None
         dof_nodes, field_of, node_pts = data
         adj = node_adjacency(A, dof_nodes, node_pts.shape[0])
@@ -188,8 +207,8 @@ class NewtonSolver:
         default_thresh = 0.0 if rotation is not None else 0.01
         thresh = float(self.options.opt("pc_factor_pivot_thresh",
                                         default_thresh))
-        self._nd_perm_cache = (perm_r, perm_c, thresh)
-        return self._nd_perm_cache
+        self._nd_fact_cache = PermutedFactorizer(A, perm_r, perm_c, thresh)
+        return self._nd_fact_cache
 
     # -------------------------------------------------------- linesearch
 

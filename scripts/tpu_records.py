@@ -68,9 +68,16 @@ RECDIR.mkdir(exist_ok=True)
 def schur_mixed(field0, **kw):
     if _USE_LU:
         return {}
+    # ksp_chunk_it bounds each device execution (the axon runtime kernel-
+    # faults on executions >~250 s — the round-2 lesson, re-confirmed at
+    # 200^2 this round): one chunk = <= ksp_refine_max f64-refinement
+    # passes x ksp_chunk_it f32 MINRES its, seconds of device time; the
+    # host loop warm-restarts chunks from dx0 until ksp_rtol or
+    # ksp_max_it total.
     base = {"ksp_type": "minres", "pc_type": "schur",
             "pc_schur_field0": field0, "ksp_precision": "mixed",
-            "ksp_max_it": 20000, "ksp_rtol": 1e-10, "ksp_refine_max": 12}
+            "ksp_max_it": 20000, "ksp_rtol": 1e-10,
+            "ksp_chunk_it": 500, "ksp_refine_max": 6}
     base.update(kw)
     return base
 
@@ -150,8 +157,18 @@ def multiphase(N=50, steps=None):
     t0 = time.time()
     # resumable: snapshot every 10 steps + per-step JSONL so an interrupted
     # multi-hour run keeps its iteration arrays and restarts where it died
+    # Solver: lagged ND-LU (la/ordering.py). The 12-field saddle needs a
+    # factorization (block-Jacobi/Schur PCs fail on the simplex gauge
+    # null-mode of softmax'); ND + field rotation + static pivoting cuts
+    # SuperLU fill 115M -> 47M (30 s -> 2.5 s/factor), and pc_factor_lag
+    # reuses factors across the ~45 Newton solves per step with
+    # refinement against the current Jacobian action, so counts match
+    # exact Newton. ksp_rtol 1e-9 (direction exactness; snes tol 1e-8).
+    mp_opts = {"pc_factor_lag": 1, "pc_factor_ordering": "nd",
+               "ksp_rtol": 1e-9}
+    mp_opts.update(DEVICE_OPTS)
     r = solve_multiphase(N=N, M=N, tau0=dt, T=T, verbose=True,
-                         solver_options=dict(DEVICE_OPTS),
+                         solver_options=mp_opts,
                          checkpoint_path=str(RECDIR / f"ck_multiphase_{N}.npz"),
                          progress_jsonl=str(RECDIR / f"rec_multiphase_{N}.jsonl"))
     _emit(f"multiphase_{N}", time.time() - t0,
