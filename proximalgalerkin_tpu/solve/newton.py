@@ -91,11 +91,18 @@ class NewtonSolver:
                 return dx
             Av = self.problem.jacobian_action(x)
             fnorm = float(jnp.linalg.norm(F))
+            monitor = bool(self.options.opt("ksp_monitor", False))
+            import time as _time
             dx = None
-            for _ in range(-(-max_it_k // chunk)):
+            for ci in range(-(-max_it_k // chunk)):
+                t0 = _time.time()
                 dx = step(x, F, self.problem.coeffs, self.problem.consts,
                           rtol_k, atol_k, chunk, dx0=dx)
                 rres = float(jnp.linalg.norm(Av(dx) + F))
+                if monitor:
+                    rank_print(f"      ksp chunk {ci}: relres "
+                               f"{rres / max(fnorm, 1e-300):.3e} "
+                               f"({_time.time() - t0:.1f}s)")
                 if rres <= max(rtol_k * fnorm, atol_k) or not np.isfinite(
                         rres):
                     break

@@ -65,9 +65,29 @@ RECDIR = _pathlib.Path(__file__).resolve().parent.parent / "records"
 RECDIR.mkdir(exist_ok=True)
 
 
+def lagged_nd_lu(**kw):
+    """Direct-solver record architecture (the MUMPS analogue): device
+    einsum assembly + host LU with geometric-ND ordering (la/ordering.py,
+    analyze once per pattern) and factorization reuse across Newton
+    iterations via refinement against the current Jacobian action
+    (pc_factor_lag). Replaces round-2's COLAMD-per-iteration SuperLU
+    (e.g. gradient 200^2: 68 min -> minutes)."""
+    base = {"pc_factor_lag": 1, "pc_factor_ordering": "nd",
+            "ksp_rtol": 1e-9}
+    base.update(kw)
+    return base
+
+
 def schur_mixed(field0, **kw):
+    # The all-device mixed+Schur path reaches LU-grade directions at
+    # small/mid N (RESULTS.md round-3 table; 2.5e-10 on-chip at 32^2) but
+    # the axon runtime kernel-faults on the sustained chunked executions
+    # the >=100^2 protocols need (records/rec_gradient_dev.log,
+    # /tmp/grad100_probe.log, measured 2026-08-17). Records therefore use
+    # the lagged ND-LU direct architecture; this config remains for
+    # smaller runs and future runtimes.
     if _USE_LU:
-        return {}
+        return lagged_nd_lu()
     # ksp_chunk_it bounds each device execution (the axon runtime kernel-
     # faults on executions >~250 s — the round-2 lesson, re-confirmed at
     # 200^2 this round): one chunk = <= ksp_refine_max f64-refinement
