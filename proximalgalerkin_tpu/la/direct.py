@@ -103,11 +103,17 @@ class PermutedFactorizer:
     The role MUMPS's separated analyze/factorize phases play in the
     reference (symbolic once, numeric per Newton step)."""
 
-    def __init__(self, A_csr, perm_r, perm_c, pivot_thresh=0.0):
+    def __init__(self, A_csr, perm_r, perm_c, pivot_thresh=0.0,
+                 dtype=np.float64):
         import scipy.sparse as sp
         self.perm_r = np.asarray(perm_r)
         self.perm_c = np.asarray(perm_c)
         self.pivot_thresh = pivot_thresh
+        # f32 factorization halves factor+triangular-solve cost; iterative
+        # refinement in _lu_direction recovers f64 directions (the factor's
+        # ~1e-7 contraction per pass is far better than the ~0.1-0.3 drift
+        # contraction of a lagged factor, so pass counts are unchanged)
+        self.dtype = np.dtype(dtype)
         tag = A_csr.copy()
         # float64 holds integers exactly to 2^53; +1 so no stored entry
         # becomes a prunable zero
@@ -121,7 +127,8 @@ class PermutedFactorizer:
 
     def factor(self, A_csr) -> "LUFactorization":
         Ap = self._sp.csc_matrix(
-            (A_csr.data[self._datamap], self._indices, self._indptr),
+            (A_csr.data[self._datamap].astype(self.dtype, copy=False),
+             self._indices, self._indptr),
             shape=self._shape)
         lu = LUFactorization.__new__(LUFactorization)
         lu._perm_r = self.perm_r
@@ -129,4 +136,13 @@ class PermutedFactorizer:
         kw = {} if self.pivot_thresh is None else \
             dict(diag_pivot_thresh=self.pivot_thresh)
         lu._lu = spla.splu(Ap, permc_spec="NATURAL", **kw)
+        if self.dtype == np.float32:
+            inner = lu._lu
+            pr, pc = self.perm_r, self.perm_c
+
+            class _F32Solve:
+                def solve(self, b):
+                    return inner.solve(b.astype(np.float32)).astype(
+                        np.float64)
+            lu._lu = _F32Solve()
         return lu

@@ -130,6 +130,19 @@ def solve_multiphase(
 
     form = VolumeForm(space, residual, quadrature_degree=2 * primal_degree + 1,
                       coeff_spaces={"u_prev": C, "psi_old": C, "u_old": C})
+
+    def residual_nl(x, u, gu, c, gc, consts):
+        """The only non-affine term of `residual`: -softmax(psi) in the
+        psi equation. Everything else is linear in x (u_prev/psi_old are
+        coefficients, alpha/tau/eps constants), so the Jacobian splits as
+        J(x) = J_lin + J_nl(psi) with J_lin constant per (alpha, tau).
+        Assembled on a psi-only subspace (12x12 local blocks, verified
+        == the [psi,psi] block of the full 36x36 jacfwd to 0.0)."""
+        return {"psi": (-jax.nn.softmax(u["psi"]), None)}
+
+    space_psi = MixedSpace([("psi", C)])
+    form_nl = VolumeForm(space_psi, residual_nl,
+                         quadrature_degree=2 * primal_degree + 1)
     # epsilon = 2h with h = 2*circumradius, a cellwise coefficient (:52-53)
     R = _circumradius(mesh)
     eps_q = np.repeat((4.0 * R)[:, None], form.nq, axis=1)
@@ -138,6 +151,41 @@ def solve_multiphase(
         form, [],
         coeffs={"eps": jnp.asarray(eps_q)},
         consts={"alpha": jnp.asarray(alpha_0), "tau": jnp.asarray(tau0)})
+
+    # Split-Jacobian assembly: the CSR data of the affine part is cached
+    # once per (alpha, tau); each refactorization re-differentiates and
+    # scatters ONLY the softmax (psi,psi) block — measured ~6 s (full
+    # jacfwd + 13M-entry scatter) -> ~0.2 s per Jacobian assembly at 50^2,
+    # the 700-step record's second-largest cost after triangular solves.
+    _lin_cache: dict = {}
+
+    def _csr_data_override(xx, coeffs, consts):
+        from ..native import scatter_add
+        key = (float(consts["alpha"]), float(consts["tau"]))
+        xx = jnp.asarray(xx)
+        x_psi = xx[psi_sl]
+        pat = problem.ell_matrix.pattern
+        if _lin_cache.get("key") != key:
+            x0 = jnp.zeros_like(xx)
+            ae_full = np.array(form.element_matrices(x0, coeffs, consts))
+            ae_nl0 = np.asarray(form_nl.element_matrices(
+                jnp.zeros_like(x_psi), {}, consts))
+            nloc = ae_nl0.shape[1]
+            ae_full[:, -nloc:, -nloc:] -= ae_nl0
+            _lin_cache["lin"] = scatter_add(
+                ae_full.reshape(-1).astype(np.float64),
+                pat.slot_map.astype(np.int64), pat.nnz)
+            ncells, L, _ = ae_full.shape
+            _lin_cache["slots_nl"] = np.ascontiguousarray(
+                pat.slot_map.reshape(ncells, L, L)[:, -nloc:, -nloc:]
+            ).reshape(-1).astype(np.int64)
+            _lin_cache["key"] = key
+        ae_nl = np.asarray(form_nl.element_matrices(x_psi, {}, consts))
+        return _lin_cache["lin"] + scatter_add(
+            ae_nl.reshape(-1).astype(np.float64),
+            _lin_cache["slots_nl"], pat.nnz)
+
+    problem.csr_data_override = _csr_data_override
 
     # the reference runs snes_type=newtonls with PETSc's default cubic
     # backtracking linesearch (multiphase_dolfinx.py:128); without a
@@ -238,6 +286,14 @@ def solve_multiphase(
             if diff < stopping_tol:
                 break
         lvpp_its[j - 1] = i
+        if verbose:
+            import os as _os
+            if _os.environ.get("PGTPU_STEP_TIMERS"):
+                rank_print("  [timers] " + "; ".join(
+                    f"{k} {v:.1f}s/{newton.timer.counts[k]}"
+                    for k, v in newton.timer.totals.items()))
+                newton.timer.totals.clear()
+                newton.timer.counts.clear()
         u_prev = x[u_sl]
         masses.append(np.array(
             [float(mass_fn(x, problem.coeffs, {}))]))

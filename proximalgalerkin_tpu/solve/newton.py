@@ -137,7 +137,11 @@ class NewtonSolver:
         xdt = F.dtype
 
         def resid(dx):
-            return b - np.asarray(Av(jnp.asarray(dx, xdt)))
+            with self.timer.phase("lu_resid"):
+                return b - np.asarray(Av(jnp.asarray(dx, xdt)))
+
+        import os as _os
+        refine_debug = bool(_os.environ.get("PGTPU_REFINE_DEBUG"))
 
         def refine(lu, fresh):
             """Richardson refinement while it contracts well; on slow
@@ -146,11 +150,15 @@ class NewtonSolver:
             diverges, e.g. right after a large Newton step moved the
             softmax' interface). Refactor only if both fail - a refactor
             costs ~7 s (assembly + factor) vs ~0.1 s per refine pass."""
-            dx = lu.solve(b)
+            with self.timer.phase("lu_apply"):
+                dx = lu.solve(b)
             rn_prev = None
-            for _ in range(refine_max):
+            for _p in range(refine_max):
                 r = resid(dx)
                 rn = float(np.linalg.norm(r))
+                if refine_debug:
+                    rank_print(f"      refine[{'F' if fresh else 's'}] "
+                               f"pass {_p}: |r|/|b| {rn / bnorm:.2e}")
                 if not np.isfinite(rn):
                     return dx, fresh
                 if rn <= tol:
@@ -158,7 +166,8 @@ class NewtonSolver:
                 if rn_prev is not None and rn > 0.5 * rn_prev and not fresh:
                     break
                 rn_prev = rn
-                dx = dx + lu.solve(r)
+                with self.timer.phase("lu_apply"):
+                    dx = dx + lu.solve(r)
             else:
                 # refine_max exhausted while still contracting
                 return dx, fresh
@@ -169,9 +178,10 @@ class NewtonSolver:
                 (n, n), matvec=lambda v: np.asarray(
                     Av(jnp.asarray(v, xdt))))
             M = _spla.LinearOperator((n, n), matvec=lu.solve)
-            dx, info = _spla.gmres(op, b, x0=dx, M=M, rtol=tol / bnorm,
-                                   atol=0.5 * tol, restart=refine_max,
-                                   maxiter=1)
+            with self.timer.phase("lu_gmres"):
+                dx, info = _spla.gmres(op, b, x0=dx, M=M, rtol=tol / bnorm,
+                                       atol=0.5 * tol, restart=refine_max,
+                                       maxiter=1)
             if info == 0:
                 return dx, True
             rn = float(np.linalg.norm(resid(dx)))
@@ -182,9 +192,12 @@ class NewtonSolver:
             dx, ok = refine(lu, fresh=False)
             if ok:
                 return dx
-        A = prob.jacobian_scipy(x)
+        with self.timer.phase("lu_assemble"):
+            A = prob.jacobian_scipy(x)
         factorizer = self._nd_factorizer(A, ordering)
-        lu = LUFactorization(A) if factorizer is None else factorizer.factor(A)
+        with self.timer.phase("lu_factor"):
+            lu = LUFactorization(A) if factorizer is None \
+                else factorizer.factor(A)
         if lag:
             self._lagged_lu = lu
         dx, _ = refine(lu, fresh=True)
@@ -214,7 +227,10 @@ class NewtonSolver:
         default_thresh = 0.0 if rotation is not None else 0.01
         thresh = float(self.options.opt("pc_factor_pivot_thresh",
                                         default_thresh))
-        self._nd_fact_cache = PermutedFactorizer(A, perm_r, perm_c, thresh)
+        fdt = np.float32 if str(self.options.opt(
+            "pc_factor_dtype", "f64")) in ("f32", "single") else np.float64
+        self._nd_fact_cache = PermutedFactorizer(A, perm_r, perm_c, thresh,
+                                                 dtype=fdt)
         return self._nd_fact_cache
 
     # -------------------------------------------------------- linesearch
@@ -403,7 +419,8 @@ class NewtonSolver:
             if not bool(jnp.all(jnp.isfinite(dx))):
                 reason = ConvergedReason.DIVERGED_LINEAR_SOLVE
                 break
-            x_new = self._linesearch(x, dx, fnorm)
+            with self.timer.phase("linesearch"):
+                x_new = self._linesearch(x, dx, fnorm)
             if x_new is None:
                 reason = ConvergedReason.DIVERGED_LINE_SEARCH
                 break

@@ -571,10 +571,19 @@ class NonlinearProblem:
         from ..native import scatter_add
         ell = self.ell_matrix
         pat = ell.pattern
-        Ae = np.asarray(self.form.element_matrices(x, self.coeffs,
-                                                   self.consts))
-        data = scatter_add(Ae.reshape(-1).astype(np.float64),
-                           pat.slot_map.astype(np.int64), pat.nnz)
+        # models whose residual is affine except for a small nonlinear term
+        # (e.g. multiphase's softmax) can install csr_data_override to
+        # produce the unassembled-bc CSR data directly from cached constant
+        # data + a scatter of only the nonlinear block — same values,
+        # a fraction of the jacfwd + 13M-entry scatter cost
+        override = getattr(self, "csr_data_override", None)
+        if override is not None:
+            data = np.asarray(override(x, self.coeffs, self.consts))
+        else:
+            Ae = np.asarray(self.form.element_matrices(x, self.coeffs,
+                                                       self.consts))
+            data = scatter_add(Ae.reshape(-1).astype(np.float64),
+                               pat.slot_map.astype(np.int64), pat.nnz)
         data = data * pat.keep + pat.diag_ones
         N = pat.num_dofs
         # slots are sorted by (row, col): build CSR arrays directly
