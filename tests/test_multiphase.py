@@ -43,3 +43,34 @@ def test_iteration_bookkeeping(solved):
     assert len(solved.newton_iterations) == 2
     assert (solved.lvpp_iterations >= 1).all()
     assert (solved.newton_iterations >= solved.lvpp_iterations).all()
+
+
+def test_split_jacobian_matches_direct_jacfwd():
+    """The csr_data_override (cached affine CSR data + softmax-only
+    rediff on the psi subspace) must reproduce the full-jacfwd Jacobian
+    exactly (it is the same quadrature, just reassociated sums)."""
+    from proximalgalerkin_tpu.models import multiphase as mpmod
+    from proximalgalerkin_tpu.solve import nonlinear as nlmod
+
+    probs = []
+    orig = nlmod.NonlinearProblem
+
+    class Rec(orig):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            probs.append(self)
+
+    mpmod.NonlinearProblem = Rec
+    try:
+        solve_multiphase(N=10, M=10, tau0=1e-4, T=1e-4, verbose=False)
+    finally:
+        mpmod.NonlinearProblem = orig
+    p = probs[0]
+    rng = np.random.default_rng(3)
+    import jax.numpy as jnp
+    x = jnp.asarray(rng.standard_normal(p.space.num_dofs) * 0.4)
+    A_split = p.jacobian_scipy(x)
+    p.csr_data_override = None
+    A_direct = p.jacobian_scipy(x)
+    assert abs(A_split - A_direct).max() < 1e-14 * max(
+        1.0, abs(A_direct).max())
