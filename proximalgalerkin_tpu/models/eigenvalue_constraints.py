@@ -71,7 +71,12 @@ def solve_eigenvalue_constraints(
     nfail_max: int = 50,
     solver_options: Optional[dict] = None,
     verbose: bool = True,
+    checkpoint_path: Optional[str] = None,
 ) -> EigenvalueResult:
+    """checkpoint_path: LVPPCheckpoint written every outer iteration and
+    resumed from on entry if present — the 100^2 protocol's outer
+    iterations each cost minutes (36M-nnz Jacobian factorizations), so an
+    interrupted record run must not restart from scratch."""
     mesh = unit_square_mesh(N, N, cell_type="quadrilateral")
     V = FunctionSpace.create(mesh, degree)
     space = MixedSpace([("q1", V), ("q2", V), ("psi1", V), ("psi2", V)])
@@ -140,8 +145,18 @@ def solve_eigenvalue_constraints(
         adaptive=True, adaptive_grow=2.0, adaptive_shrink=2.0,
         grow_below_its=4, shrink_above_its=10, nfail_max=nfail_max,
         verbose=verbose,
+        checkpoint_path=checkpoint_path,
     )
-    res = solver.solve(space.zeros())
+    resume = None
+    if checkpoint_path is not None:
+        from pathlib import Path
+        if Path(checkpoint_path).exists():
+            from ..utils.checkpoint import LVPPCheckpoint
+            resume = LVPPCheckpoint.load(checkpoint_path)
+            if verbose:
+                print(f"Resuming eigenvalue LVPP at iteration "
+                      f"{resume.iteration}")
+    res = solver.solve(space.zeros(), resume=resume)
     return EigenvalueResult(q1=np.asarray(res.x[sls["q1"]]),
                             q2=np.asarray(res.x[sls["q2"]]),
                             lvpp=res)

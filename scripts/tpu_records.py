@@ -162,7 +162,8 @@ def eigenvalue(N=100):
         solve_eigenvalue_constraints)
     t0 = time.time()
     r = solve_eigenvalue_constraints(
-        N=N, solver_options=schur_mixed("psi1,psi2"), verbose=True)
+        N=N, solver_options=schur_mixed("psi1,psi2"), verbose=True,
+        checkpoint_path=str(RECDIR / f"ck_eigenvalue_{N}.npz"))
     lo, hi = r.eigenvalue_range()
     _emit(f"eigenvalue_{N}", time.time() - t0,
           {"lvpp": int(r.lvpp.iterations),
