@@ -268,9 +268,6 @@ class LVPPSolver:
             x_k = x
             result.x = x_k
 
-            if self.checkpoint_path and k % self.checkpoint_every == 0:
-                self._save_checkpoint(x, x_k, k, alpha_scale, nfail, result)
-
             if inc < self.tol:
                 result.converged = True
                 break
@@ -280,5 +277,13 @@ class LVPPSolver:
                     alpha_scale *= self.adaptive_grow
                 elif res.iterations >= self.shrink_above_its:
                     alpha_scale /= self.adaptive_shrink
+
+            # checkpoint AFTER the adaptive update: the saved alpha_scale
+            # must be exactly what iteration k+1 will use, or a resumed
+            # run walks a different alpha trajectory than the
+            # uninterrupted one (caught by
+            # test_checkpoint_resume_matches_uninterrupted)
+            if self.checkpoint_path and k % self.checkpoint_every == 0:
+                self._save_checkpoint(x, x_k, k, alpha_scale, nfail, result)
 
         return result
