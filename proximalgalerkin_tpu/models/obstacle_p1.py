@@ -118,6 +118,7 @@ class P1ObstacleSolver:
                  cg_max: Optional[int] = None,
                  mixed_precision: bool = False,
                  use_dia: bool = True,
+                 pc: str = "jacobi",
                  dtype=jnp.float64):
         self.mesh = mesh
         V = FunctionSpace.create(mesh, 1)
@@ -224,12 +225,54 @@ class P1ObstacleSolver:
                     diag_ones=self.ell.arrays["diag_ones"].astype(
                         jnp.float32))
 
+        # Geometric-MG preconditioner (ops/mg.py): V(1,1) on the dof
+        # lattice, bounding PCG iterations where Jacobi-CG needs O(1/h).
+        # Requires the constant 5-point stencil (rectangle_mesh P1 —
+        # verified below, incl. zero diagonal couplings and isotropic
+        # off-diagonals).
+        self.pc = pc
+        self._mg_setup = None
+        self._mg_scale = 1.0
+        if pc == "mg":
+            m = int(round(np.sqrt(N)))
+            ok = (self.dia is not None and m * m == N and
+                  set(abs(int(o)) for o in self.dia.offsets)
+                  <= {0, 1, m, m + 1})
+            if ok:
+                dd = np.asarray(self.dia.data)
+                offs = [int(o) for o in self.dia.offsets]
+                interior2 = np.asarray(mask, bool).reshape(m, m)
+                interior2[[0, -1], :] = False
+                interior2[:, [0, -1]] = False
+                core = interior2.reshape(-1)
+                s_off = {}
+                for k_, off in enumerate(offs):
+                    vals = dd[k_][core]
+                    if abs(off) == m + 1:
+                        ok = ok and (np.abs(vals).max() < 1e-12)
+                    elif off != 0:
+                        s_off[abs(off)] = np.median(np.abs(vals))
+                if ok and s_off:
+                    s = float(np.mean(list(s_off.values())))
+                    ok = all(abs(v - s) < 1e-10 * max(s, 1.0)
+                             for v in s_off.values())
+                    diag_vals = dd[offs.index(0)][core]
+                    ok = ok and np.allclose(diag_vals, 4.0 * s,
+                                            atol=1e-10 * max(s, 1.0))
+                    self._mg_scale = s
+            if not ok:
+                raise ValueError(
+                    "pc='mg' requires the isotropic 5-point lattice "
+                    "stiffness (P1 on rectangle_mesh)")
+            from ..ops.mg import make_mg_pc
+            self._mg_setup = make_mg_pc(m)
+
         # Pallas fused-CG (ops/pallas_cg.py): the inner f32 CG iteration as
         # two kernels instead of ~12 latency-bound XLA ops — the round-3
         # bandwidth lever. Only meaningful with the DIA operator (the
         # kernel's SpMV is static diagonal shifts) and the mixed path.
         self._fused_cg = None
-        if mixed_precision and use_dia and self.dia is not None:
+        if pc != "mg" and mixed_precision and use_dia and self.dia is not None:
             import os as _os
             from ..ops import pallas_cg
             force = _os.environ.get("PGTPU_PALLAS") == "force"
@@ -254,6 +297,11 @@ class P1ObstacleSolver:
 
         ell = self.ell
         fused_cg = self._fused_cg
+        mg_setup = self._mg_setup
+        mg_scale32 = jnp.asarray(self._mg_scale, jnp.float32)
+        if mg_setup is not None:
+            from ..ops.mg import PIN as _MG_PIN
+            from ..ops.mg import pcg as _mg_pcg
         interior = self.interior
         M_L = self.M_L
         phi = self.phi
@@ -325,11 +373,24 @@ class P1ObstacleSolver:
 
                 diagS = jnp.where(free, alpha * diagA + m2d, 1.0)
                 if not mixed:
-                    # stall guard disarmed: f64 CG at cg_tol=1e-10 does not
-                    # sit above its noise floor, and there is no refinement
-                    # wrap here to absorb guard-level residual slack
-                    w, cg_its = _cg(S, rhs, 1.0 / diagS, cg_tol_, cg_max_,
-                                    stall_guard=0.0)
+                    if mg_setup is not None:
+                        # f64 CG, f32 V-cycle PC on the unscaled operator
+                        # (a preconditioner only steers the search; CG in
+                        # f64 keeps the accuracy)
+                        w_mg = jnp.where(free, m2d, _MG_PIN).astype(f32)
+                        mgpc = mg_setup(
+                            jnp.asarray(alpha, f32) * mg_scale32, w_mg)
+                        w, cg_its = _mg_pcg(
+                            S, rhs,
+                            lambda r: mgpc(r.astype(f32)).astype(r.dtype),
+                            cg_tol_, cg_max_, stall_guard=0.0)
+                    else:
+                        # stall guard disarmed: f64 CG at cg_tol=1e-10 does
+                        # not sit above its noise floor, and there is no
+                        # refinement wrap here to absorb guard-level
+                        # residual slack
+                        w, cg_its = _cg(S, rhs, 1.0 / diagS, cg_tol_,
+                                        cg_max_, stall_guard=0.0)
                 else:
                     # inner CG in native f32 on the symmetrically
                     # Jacobi-scaled system D^{-1/2} S D^{-1/2} (unit
@@ -351,7 +412,24 @@ class P1ObstacleSolver:
                             alpha32 * _spmv(A32, vf, ea32) + m2d32 * v, v)
                         return y * sqinv32
 
-                    if fused_cg is not None:
+                    if mg_setup is not None:
+                        # V-cycle PC for the scaled system: with
+                        # M ~ S^-1 on the unscaled operator, the scaled
+                        # preconditioner is D^1/2 M D^1/2 — i.e.
+                        # z = sq * mg(sq * r) (sq <= ~1e8 stays in f32)
+                        w_mg = jnp.where(free, m2d, _MG_PIN).astype(f32)
+                        mgpc = mg_setup(alpha32 * mg_scale32, w_mg)
+                        sq32 = sq.astype(f32)
+
+                        def pc32(r):
+                            return sq32 * mgpc(sq32 * r)
+
+                        def solve32(b64):
+                            bt = (b64 * sqinv).astype(f32)
+                            xt, its = _mg_pcg(S32t, bt, pc32,
+                                              max(cg_tol_, 2e-6), cg_max_)
+                            return (xt.astype(u.dtype) * sqinv), its
+                    elif fused_cg is not None:
                         # fold the masked/scaled Schur operator into ONE
                         # effective DIA matrix so the Pallas kernel's SpMV
                         # is plain diagonal shifts:

@@ -130,3 +130,32 @@ def test_fused_solve_matches_loop():
     assert b.outer_iterations == a.outer_iterations
     assert b.newton_its == a.newton_its
     assert np.abs(a.u - b.u).max() == 0.0
+
+
+def test_mg_pc_matches_jacobi():
+    """pc='mg' (lattice V-cycle PCG) must reproduce the Jacobi-CG
+    solution while cutting inner iterations (~3x at n=32, h-independent
+    at scale)."""
+    import numpy as np
+    from proximalgalerkin_tpu.mesh import rectangle_mesh
+    from proximalgalerkin_tpu.models.obstacle_p1 import P1ObstacleSolver
+
+    mesh = rectangle_mesh(32, 32, p0=(-1.0, -1.0), p1=(1.0, 1.0))
+    r_j = P1ObstacleSolver(mesh, pc="jacobi").solve(max_outer=100)
+    r_m = P1ObstacleSolver(mesh, pc="mg").solve(max_outer=100)
+    assert r_m.converged
+    assert np.linalg.norm(r_m.u - r_j.u) < 1e-7 * np.linalg.norm(r_j.u)
+    assert r_m.cg_its_total < r_j.cg_its_total
+
+
+def test_mg_pc_mixed_precision():
+    import numpy as np
+    from proximalgalerkin_tpu.mesh import rectangle_mesh
+    from proximalgalerkin_tpu.models.obstacle_p1 import P1ObstacleSolver
+
+    mesh = rectangle_mesh(32, 32, p0=(-1.0, -1.0), p1=(1.0, 1.0))
+    r_j = P1ObstacleSolver(mesh, pc="jacobi").solve(max_outer=100)
+    r_m = P1ObstacleSolver(mesh, pc="mg",
+                           mixed_precision=True).solve(max_outer=100)
+    assert r_m.converged
+    assert np.linalg.norm(r_m.u - r_j.u) < 1e-6 * np.linalg.norm(r_j.u)
