@@ -59,8 +59,12 @@ def _worker_fem(n: int, tol: float):
     t0 = time.time()
     mesh = rectangle_mesh(n, n, p0=(-1.0, -1.0), p1=(1.0, 1.0))
     mixed = os.environ.get("PGTPU_BENCH_MIXED", "1") == "1"
+    # PGTPU_BENCH_PC=mg swaps the inner Jacobi-CG (fused Pallas DIA
+    # kernel) for the lattice V-cycle PCG (ops/mg.py) — h-independent
+    # iteration counts where Jacobi needs O(1/h)
+    pc = os.environ.get("PGTPU_BENCH_PC", "jacobi")
     solver = P1ObstacleSolver(mesh, alpha_cap=1e2, outer_tol=tol,
-                              mixed_precision=mixed)
+                              mixed_precision=mixed, pc=pc)
     print(f"# setup {time.time() - t0:.1f}s dofs {2 * solver.N}",
           file=sys.stderr, flush=True)
 
