@@ -106,6 +106,11 @@ def _worker_fem(n: int, tol: float):
     cg = int(getattr(result, "cg_its_total", 0))
     spmv_bytes = ndiags * N * esz * 2 + N * esz     # A + x gathers + y
     iter_bytes = spmv_bytes + 6 * N * esz
+    if pc == "mg":
+        # V(1,1)-PCG iteration: the CG body + a V-cycle (~4 stencil
+        # applies + R/P convs + diagonals over a 4/3-geometric level sum)
+        iter_bytes = spmv_bytes + 6 * N * esz + int(
+            (4 * (5 * N * esz) + 4 * N * esz) * 4 / 3)
     total_bytes = cg * iter_bytes
     spmv_flops = 2 * ndiags * N
     total_flops = cg * (spmv_flops + 6 * N)
