@@ -192,6 +192,12 @@ def main(argv=None):
     p = _add_simple(sub, "eikonal", "Example 09 Mobius eikonal")
     p.add_argument("--ns", type=int, default=48)
     p.add_argument("--nt", type=int, default=6)
+    p.add_argument("--geometry", choices=["mobius", "star"],
+                   default="mobius",
+                   help="mobius = ex40 run of record; star = the ex40p "
+                        "planar star-domain variant")
+    p.add_argument("--res", type=float, default=0.08,
+                   help="star-mesh resolution")
 
     p = _add_simple(sub, "monge-ampere", "Example 10")
     p.add_argument("--kmin", type=int, default=3)
@@ -291,7 +297,11 @@ def main(argv=None):
         print(f"num_newton_iterations={r.newton_iterations}")
     elif args.cmd == "eikonal":
         from .models.eikonal import solve_eikonal
-        r = solve_eikonal(ns=args.ns, nt=args.nt,
+        mesh = None
+        if args.geometry == "star":
+            from .mesh.unstructured import create_star_mesh
+            mesh = create_star_mesh(args.res)
+        r = solve_eikonal(mesh=mesh, ns=args.ns, nt=args.nt,
                   solver_options=cli_opts)
         print(f"LVPP {r.lvpp_iterations} Newton {r.total_newton}")
     elif args.cmd == "monge-ampere":

@@ -221,6 +221,36 @@ def create_disk_mesh(res: float = 0.1, radius: float = 1.0,
     return Mesh("triangle", P, C)
 
 
+def create_star_mesh(res: float = 0.08, n_points: int = 5,
+                     r_outer: float = 1.0, r_inner: float = 0.45,
+                     smooth: int = 2) -> Mesh:
+    """Five-pointed star domain — the planar geometry of MFEM's
+    data/star.mesh that the reference's parallel eikonal runs on
+    (ex40p via .github/workflows/test_mfem.yml:31-36)."""
+    n_half = 2 * n_points
+    ang = np.pi / 2 + np.arange(n_half) * (np.pi / n_points)
+    rad = np.where(np.arange(n_half) % 2 == 0, r_outer, r_inner)
+    poly = np.stack([rad * np.cos(ang), rad * np.sin(ang)], axis=1)
+
+    bpts = []
+    for i in range(n_half):
+        seg = _sample_segment(poly[i], poly[(i + 1) % n_half], res,
+                              include_start=True)[:-1]
+        bpts.append(seg)
+    boundary = np.concatenate(bpts, axis=0)
+
+    def inside(x):
+        return _point_in_polygon(x, poly)
+
+    lat = _hex_lattice(((-r_outer, -r_outer), (r_outer, r_outer)), res)
+    tree = cKDTree(boundary)
+    d, _ = tree.query(lat)
+    lat = lat[(d > 0.6 * res) & inside(lat)]
+    pts = np.concatenate([boundary, lat], axis=0)
+    P, C = _build(pts, inside, cKDTree(boundary), res, smooth=smooth)
+    return Mesh("triangle", P, C)
+
+
 def refine_uniform(mesh: Mesh) -> Mesh:
     """Uniform red refinement: each triangle into 4 (edge midpoints) —
     the MeshHierarchy/refinement-sweep replacement."""

@@ -60,3 +60,28 @@ def test_eikonal_schur_minres_matches_lu_counts():
                                          "ksp_max_it": 3000})
     assert r_sc.converged
     assert r_sc.newton_iterations == r_lu.newton_iterations
+
+
+def test_star_domain_eikonal():
+    """ex40p's planar star-domain variant (reference CI
+    test_mfem.yml:31-36): the LVPP eikonal solution approximates the
+    distance to the star boundary."""
+    import numpy as np
+    from proximalgalerkin_tpu.mesh.unstructured import create_star_mesh
+    from proximalgalerkin_tpu.models.eikonal import solve_eikonal
+
+    mesh = create_star_mesh(0.12)
+    r = solve_eikonal(mesh=mesh, verbose=False)
+    u = np.asarray(r.u)
+    assert r.lvpp_iterations < 40
+    # distance is nonnegative up to the regularized problem's corner
+    # overshoot at this resolution (alpha cap 10, tol 1e-5)
+    assert u.min() > -0.02
+    # the maximum distance-to-boundary of the 5-star (R=1, r=0.45) is
+    # attained at the center: the distance from the origin to the edge
+    # between an outer and an inner vertex
+    a, b = np.array([0.0, 1.0]), 0.45 * np.array(
+        [np.cos(np.pi / 2 + np.pi / 5), np.sin(np.pi / 2 + np.pi / 5)])
+    t = -np.dot(a, b - a) / np.dot(b - a, b - a)
+    d_center = np.linalg.norm(a + t * (b - a))
+    assert abs(u.max() - d_center) < 0.1 * d_center
