@@ -192,10 +192,10 @@ def main(argv=None):
     p = _add_simple(sub, "eikonal", "Example 09 Mobius eikonal")
     p.add_argument("--ns", type=int, default=48)
     p.add_argument("--nt", type=int, default=6)
-    p.add_argument("--geometry", choices=["mobius", "star"],
+    p.add_argument("--geometry", choices=["mobius", "star", "ball"],
                    default="mobius",
-                   help="mobius = ex40 run of record; star = the ex40p "
-                        "planar star-domain variant")
+                   help="mobius = ex40 run of record; star / ball = the "
+                        "ex40p planar-star and solid-ball variants")
     p.add_argument("--res", type=float, default=0.08,
                    help="star-mesh resolution")
 
@@ -301,6 +301,9 @@ def main(argv=None):
         if args.geometry == "star":
             from .mesh.unstructured import create_star_mesh
             mesh = create_star_mesh(args.res)
+        elif args.geometry == "ball":
+            from .mesh.parametric import create_ball_mesh
+            mesh = create_ball_mesh(res=max(args.res, 0.15))
         r = solve_eikonal(mesh=mesh, ns=args.ns, nt=args.nt,
                   solver_options=cli_opts)
         print(f"LVPP {r.lvpp_iterations} Newton {r.total_newton}")

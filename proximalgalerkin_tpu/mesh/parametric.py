@@ -223,3 +223,52 @@ def create_half_sphere(c_z: float = 0.5, R: float = 0.5,
 
     return _tag_boundary(mesh, [("displacement", dist_top),
                                 ("contact", dist_sphere)])
+
+
+def create_ball_mesh(R: float = 1.0, res: float = 0.2,
+                     center=(0.0, 0.0, 0.0)) -> Mesh:
+    """Solid ball tet mesh — the 3D domain of MFEM's data/ball-nurbs.mesh
+    that the reference's parallel eikonal runs on (ex40p,
+    .github/workflows/test_mfem.yml:31-36). Fibonacci-sphere surface
+    sampling + BCC interior lattice + filtered Delaunay (the
+    create_half_sphere construction without the flat top)."""
+    from scipy.spatial import Delaunay as Delaunay3
+
+    c = np.asarray(center, float)
+    n_surf = max(int(4.0 * np.pi * R * R / (res * res)), 64)
+    k = np.arange(n_surf)
+    golden = (1 + 5 ** 0.5) / 2
+    zs = -1.0 + 2.0 * (k + 0.5) / n_surf
+    ths = 2 * np.pi * k / golden
+    rr = np.sqrt(np.maximum(1 - zs ** 2, 0.0))
+    sphere = c + R * np.stack(
+        [rr * np.cos(ths), rr * np.sin(ths), zs], axis=1)
+
+    def inside(x):
+        return np.linalg.norm(x - c[None, :], axis=1) < R - 1e-12
+
+    g = np.arange(-R, R + res, res)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    lat = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1) + c
+    cand = np.concatenate([lat, lat + res / 2.0], axis=0)
+    cand = cand[inside(cand)]
+    tree = cKDTree(sphere)
+    d, _ = tree.query(cand)
+    cand = cand[d > 0.55 * res]
+
+    pts = np.concatenate([sphere, cand], axis=0)
+    tri = Delaunay3(pts)
+    cells = tri.simplices
+    cent = pts[cells].mean(axis=1)
+    cells = cells[np.linalg.norm(cent - c[None, :], axis=1) < R]
+    p = pts[cells]
+    vol = np.abs(np.einsum(
+        "ij,ij->i",
+        np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]),
+        p[:, 3] - p[:, 0])) / 6.0
+    cells = cells[vol > 1e-14 * res ** 3]
+
+    used = np.unique(cells)
+    remap = -np.ones(len(pts), dtype=np.int64)
+    remap[used] = np.arange(len(used))
+    return Mesh("tetrahedron", pts[used], remap[cells].astype(np.int32))

@@ -85,3 +85,21 @@ def test_star_domain_eikonal():
     t = -np.dot(a, b - a) / np.dot(b - a, b - a)
     d_center = np.linalg.norm(a + t * (b - a))
     assert abs(u.max() - d_center) < 0.1 * d_center
+
+
+def test_ball_domain_eikonal():
+    """ex40p's solid-ball variant (ball-nurbs.mesh leg of the reference
+    CI): 3D tet eikonal; the distance at the center approximates R."""
+    import numpy as np
+    from proximalgalerkin_tpu.mesh.parametric import create_ball_mesh
+    from proximalgalerkin_tpu.models.eikonal import solve_eikonal
+
+    mesh = create_ball_mesh(res=0.45)
+    r = solve_eikonal(mesh=mesh, verbose=False)
+    u = np.asarray(r.u)
+    assert r.lvpp_iterations < 40
+    assert u.min() > -0.05
+    # LVPP eikonal at alpha cap 10 under-resolves the exact distance (the
+    # same smoothing the Mobius oracle test allows); just require the
+    # center value to be the right scale
+    assert 0.5 < u.max() <= 1.05
