@@ -1,0 +1,241 @@
+"""Device-resident block-tridiagonal LDL (block-Thomas) direct solver.
+
+The TPU-native sparse-direct replacement for MUMPS on *lattice-structured*
+problems — which is every reference full-protocol example (gradient
+constraint 200^2, eigenvalue 100^2, thermoforming 150^2, multiphase 50^2;
+the reference solves each Newton system with `pc_factor_mat_solver_type:
+mumps`, e.g. examples/01_obstacle_problem/obstacle_pg.py:131).
+
+Idea: order dofs by mesh lines (quantized coordinate levels). FEM coupling
+only reaches `span` lines, so grouping `span` lines per block makes the
+(equilibrated) Jacobian block-TRIDIAGONAL with dense (bs, bs) blocks:
+
+    A = [[D0, U0          ],
+         [L0, D1, U1      ],
+         [    L1, D2, ... ]]
+
+Block-Thomas factorization/solve is then a `lax.scan` of dense (bs, bs)
+matmuls + inverses — pure MXU work. Measured on the v5e at gradient-200^2
+scale (nb=201, bs=1204): factor < 0.1 s, solve ~86 ms — versus 68 min of
+1-core host SuperLU in the round-2 record.
+
+Numerics: the LVPP saddle Jacobians are symmetric quasi-definite after
+Jacobi equilibration (latent block negative definite, primal block positive
+definite), for which unpivoted block LDL^T is strongly factorizable
+(Vanderbei); each block inverse still uses partially-pivoted LU inside
+`jnp.linalg.inv`. The factor runs in NATIVE f32 (no emulated-f64 device
+loops — the axon runtime kernel-faults on those, RESULTS.md) and reaches
+f64 direction accuracy through iterative refinement driven by the host
+Newton loop (solve/newton.py _bt_direction), which the measured f32
+backward error (~1e-4 relative) contracts to 1e-13 in 2-3 passes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _line_ids(points: np.ndarray, axis: int) -> np.ndarray:
+    """Rank of each dof's quantized coordinate level along `axis`."""
+    c = points[:, axis]
+    span = max(float(c.max() - c.min()), 1.0)
+    q = np.round(c / (1e-9 * span)).astype(np.int64)
+    levels = np.unique(q)
+    return np.searchsorted(levels, q)
+
+
+@dataclass(frozen=True)
+class LineBlocking:
+    """Host-precomputed block-tridiagonal structure for one ELL pattern.
+
+    nb, bs:    number of blocks / padded block size
+    rhs_idx:   (N,) position of dof r in the flat (nb*bs,) block vector
+    tgt_d/l/u: (N*K,) flat scatter target of each ELL slot into the dense
+               D (nb,bs,bs) / L,U (nb-1,bs,bs) tensors; out-of-range
+               (dropped) for slots that belong to another tensor
+    pad_idx:   flat D-diagonal positions of padding dofs (get 1.0)
+    """
+
+    nb: int
+    bs: int
+    rhs_idx: np.ndarray
+    tgt_d: np.ndarray
+    tgt_l: np.ndarray
+    tgt_u: np.ndarray
+    pad_idx: np.ndarray
+
+    @classmethod
+    def build(cls, pattern, points: np.ndarray,
+              max_bytes: float = 11e9) -> "LineBlocking":
+        """pattern: la/ell.EllPattern; points: (N, gdim) dof coordinates.
+
+        Chooses the coordinate axis that minimizes the padded block size,
+        groups `span` lines per block (span = max coupling distance in
+        lines), and precomputes the ELL-slot -> dense-block scatter maps.
+        Raises ValueError when the dof graph is not line-structured enough
+        (callers fall back to another solver).
+        """
+        N, K = pattern.ell_cols.shape
+        ell_cols = pattern.ell_cols.astype(np.int64)
+        rows = np.repeat(np.arange(N, dtype=np.int64), K)
+        cols = ell_cols.reshape(-1)
+
+        best = None
+        for axis in range(points.shape[1]):
+            line = _line_ids(points, axis)
+            span = int(np.abs(line[rows] - line[cols]).max())
+            if span == 0:
+                continue
+            nlines = int(line.max()) + 1
+            g = span
+            blk = line // g
+            nb = int(blk.max()) + 1
+            if nb < 3:
+                continue
+            bs = int(np.bincount(blk, minlength=nb).max())
+            if best is None or bs < best[0]:
+                best = (bs, nb, blk, span)
+        if best is None:
+            raise ValueError("dof graph is not line-structured")
+        bs, nb, blk, span = best
+        if 5.0 * nb * bs * bs * 4 > max_bytes:
+            raise ValueError(
+                f"block-tridiagonal factors too large: nb={nb} bs={bs} "
+                f"(~{5 * nb * bs * bs * 4 / 1e9:.1f} GB)")
+
+        # position of each dof inside its block (stable order within block)
+        order = np.lexsort((np.arange(N), blk))
+        loc = np.empty(N, dtype=np.int64)
+        loc[order] = np.arange(N) - np.concatenate(
+            [[0], np.cumsum(np.bincount(blk, minlength=nb))])[blk[order]]
+        rhs_idx = blk * bs + loc
+
+        br, bc = blk[rows], blk[cols]
+        i, j = loc[rows], loc[cols]
+        drop_d = nb * bs * bs
+        drop_lu = (nb - 1) * bs * bs
+        tgt_d = np.where(br == bc, br * bs * bs + i * bs + j, drop_d)
+        # L[k] = A[block k+1, block k]; U[k] = A[block k, block k+1]
+        tgt_l = np.where(br == bc + 1, bc * bs * bs + i * bs + j, drop_lu)
+        tgt_u = np.where(bc == br + 1, br * bs * bs + i * bs + j, drop_lu)
+        beyond = np.abs(br - bc) > 1
+        if beyond.any():
+            raise ValueError("coupling beyond adjacent blocks")
+
+        counts = np.bincount(blk, minlength=nb)
+        pad = []
+        for k in range(nb):
+            pad.extend(k * bs * bs + p * bs + p
+                       for p in range(counts[k], bs))
+        return cls(nb=nb, bs=bs, rhs_idx=rhs_idx.astype(np.int32),
+                   tgt_d=tgt_d.astype(np.int32),
+                   tgt_l=tgt_l.astype(np.int32),
+                   tgt_u=tgt_u.astype(np.int32),
+                   pad_idx=np.asarray(pad, dtype=np.int32))
+
+    def device_maps(self):
+        """Index arrays as a pytree of device arrays (pass as jit args)."""
+        if not hasattr(self, "_maps"):
+            object.__setattr__(self, "_maps", {
+                "rhs_idx": jnp.asarray(self.rhs_idx),
+                "tgt_d": jnp.asarray(self.tgt_d),
+                "tgt_l": jnp.asarray(self.tgt_l),
+                "tgt_u": jnp.asarray(self.tgt_u),
+                "pad_idx": jnp.asarray(self.pad_idx),
+            })
+        return self._maps
+
+
+@partial(jax.jit, static_argnames=("nb", "bs"))
+def bt_assemble(ell_data, ell_cols, maps, nb: int, bs: int):
+    """Equilibrate ELL data, cast f32, scatter into dense (D, L, U) blocks.
+
+    Returns (D, L, U, s) with s the f64 symmetric scale (|diag|^-1/2):
+    the factored system is S A S, so directions are dx = s * solve(s * b).
+    """
+    row = jnp.arange(ell_data.shape[0])[:, None]
+    diag = jnp.sum(jnp.where(ell_cols == row, ell_data, 0.0), axis=1)
+    s = jnp.where(jnp.abs(diag) > 1e-300,
+                  1.0 / jnp.sqrt(jnp.abs(diag)), 1.0)
+    data_s = (s[:, None] * ell_data * s[ell_cols]).astype(jnp.float32)
+    flat = data_s.reshape(-1)
+    D = jnp.zeros(nb * bs * bs, jnp.float32).at[maps["tgt_d"]].add(
+        flat, mode="drop")
+    D = D.at[maps["pad_idx"]].add(1.0, mode="drop")
+    L = jnp.zeros((nb - 1) * bs * bs, jnp.float32).at[maps["tgt_l"]].add(
+        flat, mode="drop")
+    U = jnp.zeros((nb - 1) * bs * bs, jnp.float32).at[maps["tgt_u"]].add(
+        flat, mode="drop")
+    return (D.reshape(nb, bs, bs), L.reshape(nb - 1, bs, bs),
+            U.reshape(nb - 1, bs, bs), s)
+
+
+@jax.jit
+def bt_factor(D, L, U):
+    """Block-Thomas factorization: returns (Minv, T) with
+    M_k = D_k - L_{k-1} Minv_{k-1} U_{k-1} (Schur recursion) and
+    T_k = Minv_k U_k."""
+    def step(Minv_prev, ops):
+        Dk, Lk, Uk_prev = ops
+        T_prev = Minv_prev @ Uk_prev
+        Minv = jnp.linalg.inv(Dk - Lk @ T_prev)
+        return Minv, (Minv, T_prev)
+
+    Minv0 = jnp.linalg.inv(D[0])
+    _, (Minv_rest, T) = jax.lax.scan(step, Minv0, (D[1:], L, U))
+    return jnp.concatenate([Minv0[None], Minv_rest], axis=0), T
+
+
+@jax.jit
+def bt_apply(Minv, T, L, b_blocks):
+    """Forward/back substitution for one flat rhs laid out as (nb, bs)."""
+    def fwd(y_prev, ops):
+        Lk, Minv_prev, bk = ops
+        y = bk - Lk @ (Minv_prev @ y_prev)
+        return y, y
+
+    y0 = b_blocks[0]
+    _, y_rest = jax.lax.scan(fwd, y0, (L, Minv[:-1], b_blocks[1:]))
+    y = jnp.concatenate([y0[None], y_rest], axis=0)
+
+    def bwd(x_next, ops):
+        Minv_k, Tk, yk = ops
+        return Minv_k @ yk - Tk @ x_next, Minv_k @ yk - Tk @ x_next
+
+    xK = Minv[-1] @ y[-1]
+    _, x_rest = jax.lax.scan(bwd, xK, (Minv[:-1], T, y[:-1]), reverse=True)
+    return jnp.concatenate([x_rest, xK[None]], axis=0)
+
+
+@partial(jax.jit, static_argnames=("nb", "bs"))
+def bt_solve(Minv, T, L, s, b64, maps, nb: int, bs: int):
+    """f64 rhs -> f64 direction through the f32 factors (one refinement-
+    free pass; accuracy comes from the caller's refinement loop)."""
+    bb = jnp.zeros(nb * bs, jnp.float32).at[maps["rhs_idx"]].set(
+        (s * b64).astype(jnp.float32))
+    xb = bt_apply(Minv, T, L, bb.reshape(nb, bs)).reshape(-1)
+    return s * xb[maps["rhs_idx"]].astype(b64.dtype)
+
+
+class BlockTriFactorization:
+    """One assembled+factored system: solve(b64)->dx64, all device."""
+
+    def __init__(self, blocking: LineBlocking, ell, data64, arrays):
+        maps = blocking.device_maps()
+        D, L, U, s = bt_assemble(data64, arrays["ell_cols"], maps,
+                                 blocking.nb, blocking.bs)
+        self.Minv, self.T = bt_factor(D, L, U)
+        self.L = L
+        self.s = s
+        self._maps = maps
+        self._nb, self._bs = blocking.nb, blocking.bs
+
+    def solve(self, b):
+        b64 = jnp.asarray(b)
+        return bt_solve(self.Minv, self.T, self.L, self.s, b64,
+                        self._maps, self._nb, self._bs)

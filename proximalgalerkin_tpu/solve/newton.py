@@ -56,6 +56,9 @@ class NewtonSolver:
         opts = self.options
         ksp = opts.opt("ksp_type")
         pc = opts.opt("pc_type")
+        if pc == "btlu":
+            with self.timer.phase("linear_solve_bt"):
+                return self._bt_direction(x, F)
         if ksp == "preonly" or pc == "lu":
             lag = int(opts.opt("pc_factor_lag", 0) or 0)
             ordering = str(opts.opt("pc_factor_ordering", "auto"))
@@ -107,6 +110,49 @@ class NewtonSolver:
                         rres):
                     break
             dx.block_until_ready()
+        return dx
+
+    # --------------------------------------- device block-tridiagonal LU
+
+    def _bt_direction(self, x, F):
+        """Device-resident direct direction (pc_type='btlu'): line-ordered
+        block-tridiagonal LDL on the MXU (la/blocktri.py), the
+        lattice-problem MUMPS replacement. f32 factor + f64 iterative
+        refinement against the assembled ELL operator — refinement SpMVs
+        are single bounded f64 executions (no emulated-f64 device loops,
+        which the axon runtime kernel-faults on). The factor costs ~0.1 s
+        at gradient-200^2 scale, so it is rebuilt every call (no lag)."""
+        from ..la.blocktri import BlockTriFactorization
+        prob = self.problem
+        opts = self.options
+        blocking = prob.line_blocking()
+        ell = prob.ell_matrix
+        arrays = ell.arrays
+        with self.timer.phase("bt_assemble"):
+            data64 = prob.ell_data(x)
+        with self.timer.phase("bt_factor"):
+            fact = BlockTriFactorization(blocking, ell, data64, arrays)
+        b = -F
+        bnorm = float(jnp.linalg.norm(b))
+        tol = max(float(opts.opt("ksp_rtol")) * bnorm,
+                  float(opts.opt("ksp_atol")))
+        refine_max = int(opts.opt("pc_factor_refine_max", 20) or 20)
+        monitor = bool(opts.opt("ksp_monitor", False))
+        with self.timer.phase("bt_solve"):
+            dx = fact.solve(b)
+            rn_prev = None
+            for p in range(refine_max):
+                r = b - ell.spmv(data64, dx, arrays)
+                rn = float(jnp.linalg.norm(r))
+                if monitor:
+                    rank_print(f"      btlu pass {p}: |r|/|b| "
+                               f"{rn / max(bnorm, 1e-300):.2e}")
+                if not np.isfinite(rn) or rn <= tol:
+                    break
+                if rn_prev is not None and rn > 0.7 * rn_prev:
+                    break  # f32 factor floor reached
+                rn_prev = rn
+                dx = dx + fact.solve(r)
         return dx
 
     # ------------------------------------------------- lagged/ordered LU

@@ -121,6 +121,33 @@ class NonlinearProblem:
             self._ell = EllMatrix(pattern, self.form.dtype)
         return self._ell
 
+    def ell_data(self, x):
+        """Device-assembled ELL Jacobian data at x (f64, BCs applied) —
+        the assembled-operator input of the block-tridiagonal direct
+        solver (la/blocktri.py) and of f64 refinement SpMVs."""
+        if not hasattr(self, "_ell_data_fn"):
+            ell = self.ell_matrix
+            form = self.form
+
+            def fn(x, coeffs, consts, cell_data, arrays):
+                Ae = form._element_matrices_core(x, coeffs, consts,
+                                                 cell_data)
+                return ell.assemble(Ae, arrays)
+
+            self._ell_data_fn = jax.jit(fn)
+        return self._ell_data_fn(x, self.coeffs, self.consts,
+                                 self.form.cell_data, self.ell_matrix.arrays)
+
+    def line_blocking(self):
+        """Cached LineBlocking of this problem's ELL pattern (raises
+        ValueError when the dof graph is not lattice-structured)."""
+        if not hasattr(self, "_line_blocking"):
+            from ..la.blocktri import LineBlocking
+            dof_nodes, _, node_pts = self.nd_ordering_data()
+            self._line_blocking = LineBlocking.build(
+                self.ell_matrix.pattern, node_pts[dof_nodes])
+        return self._line_blocking
+
     def direction_solver(self, ksp: str, pc: str, mat_type: str = "ell",
                          schur_field0: Optional[str] = None,
                          precision: str = "double",

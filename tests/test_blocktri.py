@@ -1,0 +1,82 @@
+"""Device block-tridiagonal direct solver (la/blocktri.py) golden tests.
+
+The lattice-structured MUMPS replacement: line-ordered block-Thomas LDL
+with f32 factors + f64 refinement must reproduce exact-LU directions and
+full LVPP trajectories (reference architecture: every example solves its
+Newton systems with a sparse direct method, obstacle_pg.py:131)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from proximalgalerkin_tpu.core.config import SolverOptions
+from proximalgalerkin_tpu.la.direct import LUFactorization
+from proximalgalerkin_tpu.models.gradient_constraint import (
+    setup_gradient_constraint)
+from proximalgalerkin_tpu.solve.newton import NewtonSolver
+
+
+@pytest.fixture(scope="module")
+def grad16():
+    prob = setup_gradient_constraint(N=16, M=16, primal_degree=2,
+                                     max_iterations=3, stopping_tol=1e-8,
+                                     verbose=False, quadrature_degree=6)
+    res3 = prob.solver.solve(prob.x0)
+    return prob, jnp.asarray(res3.x)
+
+
+def test_direction_matches_lu(grad16):
+    """btlu direction == exact host-LU direction to ksp_rtol, at a
+    representative mid-LVPP state and a deep-alpha state."""
+    prob, x = grad16
+    p = prob.solver.newton.problem
+    for alpha in (8.0, 131072.0):
+        p.update(coeffs=prob.solver.prev_coeffs(x),
+                 consts={"alpha": jnp.asarray(alpha)})
+        F = p.residual(x)
+        A = p.jacobian_scipy(x)
+        dx_lu = LUFactorization(A).solve(np.asarray(-F))
+        ns = NewtonSolver(p, SolverOptions(
+            {"ksp_type": "preonly", "pc_type": "btlu",
+             "ksp_rtol": 1e-12, "ksp_atol": 0.0}))
+        dx = np.asarray(ns._solve_linear(x, F))
+        rres = np.linalg.norm(A @ dx + np.asarray(F)) / \
+            np.linalg.norm(np.asarray(F))
+        derr = np.linalg.norm(dx - dx_lu) / np.linalg.norm(dx_lu)
+        assert rres < 1e-11, (alpha, rres)
+        assert derr < 1e-8, (alpha, derr)
+
+
+def test_full_lvpp_trajectory_matches_lu():
+    """Full gradient-constraint LVPP with btlu directions reproduces the
+    LU trajectory: identical LVPP/Newton counts, matching solution."""
+    kw = dict(N=12, M=12, primal_degree=2, max_iterations=25,
+              stopping_tol=1e-8, verbose=False, quadrature_degree=6)
+    prob_lu = setup_gradient_constraint(**kw)
+    res_lu = prob_lu.solver.solve(prob_lu.x0)
+    prob_bt = setup_gradient_constraint(
+        solver_options={"ksp_type": "preonly", "pc_type": "btlu",
+                        "ksp_rtol": 1e-9}, **kw)
+    res_bt = prob_bt.solver.solve(prob_bt.x0)
+    assert res_bt.converged
+    assert res_bt.iterations == res_lu.iterations
+    assert list(res_bt.newton_steps) == list(res_lu.newton_steps)
+    diff = np.linalg.norm(np.asarray(res_bt.x - res_lu.x)) / \
+        np.linalg.norm(np.asarray(res_lu.x))
+    assert diff < 1e-7
+
+
+def test_non_lattice_points_raise():
+    """Fully irregular point sets are rejected (no usable line structure:
+    every coordinate level is distinct, so blocks blow past the memory
+    guard or coupling spans non-adjacent blocks) — callers fall back to
+    LU/Krylov."""
+    from proximalgalerkin_tpu.la.blocktri import LineBlocking
+    from proximalgalerkin_tpu.la.ell import EllPattern
+    rng = np.random.default_rng(0)
+    ncell, ld, ndof = 400, 3, 260
+    conn = rng.integers(0, ndof, size=(ncell, ld))
+    pattern = EllPattern.build(conn, ndof, np.empty(0, np.int64))
+    pts = rng.standard_normal((ndof, 2))
+    with pytest.raises(ValueError):
+        LineBlocking.build(pattern, pts)
