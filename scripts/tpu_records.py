@@ -102,6 +102,21 @@ def schur_mixed(field0, **kw):
     return base
 
 
+def device_direct(**kw):
+    """Round-3 record architecture for lattice protocols: the device
+    block-tridiagonal direct solver (la/blocktri.py, pc_type=btlu) —
+    line-ordered block-Thomas LDL as MXU matmul scans, f32 factors + f64
+    refinement (bounded single-execution f64 SpMVs only, which the axon
+    runtime tolerates; measured clean at gradient 32^2 and 200^2). This
+    replaces the host lagged ND-LU for every *-on-a-lattice protocol.
+    PGTPU_RECORD_LU=1 restores the host-LU cross-check architecture."""
+    if _USE_LU:
+        return lagged_nd_lu()
+    base = {"ksp_type": "preonly", "pc_type": "btlu", "ksp_rtol": 1e-9}
+    base.update(kw)
+    return base
+
+
 DEVICE_OPTS = {}
 
 
@@ -113,7 +128,7 @@ def _emit(name, t, extra):
 def thermoforming(M=150):
     from proximalgalerkin_tpu.models.thermoforming import solve_thermoforming
     t0 = time.time()
-    r = solve_thermoforming(M=M, solver_options=dict(DEVICE_OPTS),
+    r = solve_thermoforming(M=M, solver_options=device_direct(),
                             verbose=True)
     _emit(f"thermoforming_{M}", time.time() - t0,
           {"lvpp": r.lvpp_iterations, "newton": r.total_newton,
@@ -125,7 +140,7 @@ def gradient(N=200):
         solve_gradient_constraint)
     t0 = time.time()
     prob, res = solve_gradient_constraint(
-        N=N, solver_options=schur_mixed("psi"), verbose=True)
+        N=N, solver_options=device_direct(), verbose=True)
     _emit(f"gradient_constraint_{N}", time.time() - t0,
           {"lvpp": res.iterations, "newton": int(sum(res.newton_steps)),
            "converged": bool(res.converged)})
