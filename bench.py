@@ -59,10 +59,13 @@ def _worker_fem(n: int, tol: float):
     t0 = time.time()
     mesh = rectangle_mesh(n, n, p0=(-1.0, -1.0), p1=(1.0, 1.0))
     mixed = os.environ.get("PGTPU_BENCH_MIXED", "1") == "1"
-    # PGTPU_BENCH_PC=mg swaps the inner Jacobi-CG (fused Pallas DIA
-    # kernel) for the lattice V-cycle PCG (ops/mg.py) — h-independent
-    # iteration counts where Jacobi needs O(1/h)
-    pc = os.environ.get("PGTPU_BENCH_PC", "jacobi")
+    # Default PC: the lattice V-cycle PCG (ops/mg.py). After the round-3
+    # rewrite (matmul-based transfer operators — exact f32 and a single
+    # fused launch each, replacing bf16 convs; k5 stencil matvec) MG-PCG
+    # needs 45x fewer inner iterations than Jacobi-CG at 1024^2 and wins
+    # the wall-clock back-to-back A/B 36.4 s vs 68.0 s. PGTPU_BENCH_PC=
+    # jacobi restores the fused Pallas DIA-CG path.
+    pc = os.environ.get("PGTPU_BENCH_PC", "mg")
     solver = P1ObstacleSolver(mesh, alpha_cap=1e2, outer_tol=tol,
                               mixed_precision=mixed, pc=pc)
     print(f"# setup {time.time() - t0:.1f}s dofs {2 * solver.N}",

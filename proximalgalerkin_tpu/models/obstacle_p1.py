@@ -301,7 +301,9 @@ class P1ObstacleSolver:
         mg_scale32 = jnp.asarray(self._mg_scale, jnp.float32)
         if mg_setup is not None:
             from ..ops.mg import PIN as _MG_PIN
+            from ..ops.mg import k5_apply as _k5
             from ..ops.mg import pcg as _mg_pcg
+            mg_m = int(round(np.sqrt(self.N)))
         interior = self.interior
         M_L = self.M_L
         phi = self.phi
@@ -404,13 +406,30 @@ class P1ObstacleSolver:
                     alpha32 = alpha.astype(f32)
                     ones32 = jnp.ones_like(sqinv32)
 
-                    def S32t(vt):
-                        v = vt * sqinv32
-                        vf = jnp.where(free, v, jnp.asarray(0.0, f32))
-                        y = jnp.where(
-                            free,
-                            alpha32 * _spmv(A32, vf, ea32) + m2d32 * v, v)
-                        return y * sqinv32
+                    if mg_setup is not None:
+                        # lattice form of the Schur matvec: the verified
+                        # isotropic 5-point stencil (setup check) as ONE
+                        # fusible pad+slice group instead of ~20
+                        # concatenate-based DIA shifts — per-launch
+                        # overhead on the axon runtime made the generic
+                        # SpMV ~2x the whole V-cycle
+                        def S32t(vt):
+                            v = vt * sqinv32
+                            vf = jnp.where(free, v, jnp.asarray(0.0, f32))
+                            y5 = _k5(vf.reshape(mg_m, mg_m)).reshape(-1)
+                            y = jnp.where(
+                                free,
+                                alpha32 * mg_scale32 * y5 + m2d32 * v, v)
+                            return y * sqinv32
+                    else:
+                        def S32t(vt):
+                            v = vt * sqinv32
+                            vf = jnp.where(free, v, jnp.asarray(0.0, f32))
+                            y = jnp.where(
+                                free,
+                                alpha32 * _spmv(A32, vf, ea32) + m2d32 * v,
+                                v)
+                            return y * sqinv32
 
                     if mg_setup is not None:
                         # V-cycle PC for the scaled system: with

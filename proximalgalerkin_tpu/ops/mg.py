@@ -39,28 +39,50 @@ import numpy as np
 PIN = 1e18
 
 
-def _fw_kernel(dtype):
-    k = np.array([[1.0, 2.0, 1.0],
-                  [2.0, 4.0, 2.0],
-                  [1.0, 2.0, 1.0]]) / 16.0
-    return jnp.asarray(k[None, None], dtype)          # OIHW
+_R_CACHE = {}
+
+
+def _restriction_matrix(m: int, dtype) -> np.ndarray:
+    """1-D full-weighting restriction matrix R (M+1, m), rows
+    [1, 2, 1]/4 centered at the even fine points. 2-D restriction is the
+    Kronecker form R X R^T; prolongation its exact transpose 4 R^T E R.
+    Cached as NUMPY (a jnp array materialized during a jit trace is a
+    staged constant — caching one across traces leaks the tracer)."""
+    key = (m, np.dtype(dtype).name)
+    if key not in _R_CACHE:
+        M = (m - 1) // 2 + 1
+        R = np.zeros((M, m), np.dtype(dtype))
+        c = 2 * np.arange(M)
+        R[np.arange(M), c] = 0.5
+        R[np.arange(M - 1), c[:-1] + 1] += 0.25
+        R[np.arange(1, M), c[1:] - 1] += 0.25
+        _R_CACHE[key] = R
+    return _R_CACHE[key]
 
 
 def restrict(r2d):
-    """Full-weighting restriction (m=2M+1 -> M+1), vertex-centered."""
-    k = _fw_kernel(r2d.dtype)
-    return jax.lax.conv_general_dilated(
-        r2d[None, None], k, window_strides=(2, 2), padding=((1, 1), (1, 1)),
-    )[0, 0]
+    """Full-weighting restriction (m=2M+1 -> M+1), vertex-centered.
+
+    Implemented as two dense MXU matmuls (R X R^T) rather than a strided
+    `lax.conv` or strided slices: on the axon v5e the conv pair was an
+    opaque ~50 us launch x 2 x nlevels AND ran the MXU at its
+    one-pass-bf16 default, which made the preconditioner unsymmetric at
+    the ~1e-3 level (poison for CG, whose theory needs a fixed SPD M);
+    lane-strided slices lower to cross-lane shuffles and were ~9x slower
+    still. Dense f32-highest matmuls are single fused launches, exact,
+    and exactly transpose-consistent with `prolong`."""
+    R = _restriction_matrix(r2d.shape[0], r2d.dtype)
+    with jax.default_matmul_precision("highest"):
+        return R @ r2d @ R.T
 
 
 def prolong(e2d):
-    """Bilinear prolongation (M+1 -> 2M+1), the transpose of 4*restrict."""
-    k = 4.0 * _fw_kernel(e2d.dtype)
-    return jax.lax.conv_general_dilated(
-        e2d[None, None], k, window_strides=(1, 1), padding=((1, 1), (1, 1)),
-        lhs_dilation=(2, 2),
-    )[0, 0]
+    """Bilinear prolongation (M+1 -> 2M+1), the exact transpose of
+    4*restrict (see `restrict` for why matmuls)."""
+    m = 2 * (e2d.shape[0] - 1) + 1
+    R = _restriction_matrix(m, e2d.dtype)
+    with jax.default_matmul_precision("highest"):
+        return 4.0 * (R.T @ e2d @ R)
 
 
 def k5_apply(v2d):
