@@ -66,8 +66,10 @@ def _worker_fem(n: int, tol: float):
     # the wall-clock back-to-back A/B 36.4 s vs 68.0 s. PGTPU_BENCH_PC=
     # jacobi restores the fused Pallas DIA-CG path.
     pc = os.environ.get("PGTPU_BENCH_PC", "mg")
+    forcing = os.environ.get("PGTPU_BENCH_FORCING", "fixed")
     solver = P1ObstacleSolver(mesh, alpha_cap=1e2, outer_tol=tol,
-                              mixed_precision=mixed, pc=pc)
+                              mixed_precision=mixed, pc=pc,
+                              cg_forcing=forcing)
     print(f"# setup {time.time() - t0:.1f}s dofs {2 * solver.N}",
           file=sys.stderr, flush=True)
 

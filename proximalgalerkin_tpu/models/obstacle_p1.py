@@ -119,6 +119,7 @@ class P1ObstacleSolver:
                  mixed_precision: bool = False,
                  use_dia: bool = True,
                  pc: str = "jacobi",
+                 cg_forcing: str = "fixed",
                  dtype=jnp.float64):
         self.mesh = mesh
         V = FunctionSpace.create(mesh, 1)
@@ -206,6 +207,7 @@ class P1ObstacleSolver:
         self.newton_max = newton_max
         self.cg_tol = cg_tol
         self.cg_max = cg_max or 40 * int(np.sqrt(N))
+        self.cg_forcing = cg_forcing
         self.mixed_precision = mixed_precision
         self.dtype = dtype
         # f32 copies for the mixed-precision inner CG (v5e has no native
@@ -313,6 +315,13 @@ class P1ObstacleSolver:
         newton_max_ = newton_max
         cg_tol_ = cg_tol
         cg_max_ = self.cg_max
+        # Eisenstat–Walker-style inexact-Newton forcing (mixed path only):
+        # the direction residual only needs to be small RELATIVE TO WHERE
+        # NEWTON IS — eta_k = clip(0.5*stop/||F_k||, 1e-9, 1e-3) — so early
+        # steps solve to ~1e-3 instead of 2e-6 and skip the refinement
+        # passes, tightening automatically as ||F|| approaches the Newton
+        # stop. "fixed" (default) keeps the round-3 behavior bit-for-bit.
+        forcing_ew = (cg_forcing == "ew")
 
         # The latent variable dives to psi ~ -O(sum alpha) at contact nodes
         # (exp(psi) = the primal-dual gap -> 0), so exp(psi) legitimately
@@ -346,11 +355,11 @@ class P1ObstacleSolver:
             diagA = _diag(A_data, ea)
 
             def cond(state):
-                it, u, psi, nrm, cg_total, best = state
+                it, u, psi, nrm, cg_total, best, nrm_prev = state
                 return jnp.logical_and(it < newton_max_, nrm > stop)
 
             def body(state):
-                it, u, psi, _, cg_total, best = state
+                it, u, psi, nrm_in, cg_total, best, nrm_prev = state
                 g_u, g_p = residual(u, psi, psi_k, alpha, A_data, ea)
                 d = M_L * jnp.exp(psi)            # underflow to 0 is fine
                 row_scale = alpha * diagA + M_L
@@ -405,6 +414,33 @@ class P1ObstacleSolver:
                     m2d32 = m2d.astype(f32)
                     alpha32 = alpha.astype(f32)
                     ones32 = jnp.ones_like(sqinv32)
+                    tol_fix = max(cg_tol_, 2e-6)
+                    if forcing_ew:
+                        # EW choice 2 (eta ~ gamma*(|F_k|/|F_{k-1}|)^2:
+                        # loose while Newton progresses fast) with a
+                        # lower safeguard 0.1*stop/|F_k| — never solve
+                        # tighter than what landing under the Newton stop
+                        # requires
+                        ratio = nrm_in / jnp.maximum(nrm_prev, 1e-300)
+                        eta = jnp.clip(
+                            jnp.maximum(0.9 * ratio * ratio,
+                                        0.1 * stop
+                                        / jnp.maximum(nrm_in, 1e-300)),
+                            1e-9, 1e-2)
+                        # endgame guard: the LAST Newton steps set the
+                        # iterate accuracy the outer loop's increment test
+                        # sees — once within 100x of the Newton stop,
+                        # solve tight (loose final directions were
+                        # measured to stall outer increments and ADD
+                        # outer iterations, costing more than the loose
+                        # solves saved)
+                        eta = jnp.where(nrm_in < 100.0 * stop,
+                                        jnp.asarray(1e-9, eta.dtype), eta)
+                        tol32 = jnp.maximum(jnp.asarray(tol_fix, f32),
+                                            eta.astype(f32))
+                    else:
+                        eta = None
+                        tol32 = jnp.asarray(tol_fix, f32)
 
                     if mg_setup is not None:
                         # lattice form of the Schur matvec: the verified
@@ -446,7 +482,7 @@ class P1ObstacleSolver:
                         def solve32(b64):
                             bt = (b64 * sqinv).astype(f32)
                             xt, its = _mg_pcg(S32t, bt, pc32,
-                                              max(cg_tol_, 2e-6), cg_max_)
+                                              tol32, cg_max_)
                             return (xt.astype(u.dtype) * sqinv), its
                     elif fused_cg is not None:
                         # fold the masked/scaled Schur operator into ONE
@@ -482,25 +518,29 @@ class P1ObstacleSolver:
                         def solve32(b64):
                             bt = (b64 * sqinv).astype(f32)
                             xt, its = fused_cg(data_eff, bt,
-                                               max(cg_tol_, 2e-6), cg_max_)
+                                               tol32, cg_max_)
                             return (xt.astype(u.dtype) * sqinv), its
                     else:
                         def solve32(b64):
                             bt = (b64 * sqinv).astype(f32)
                             xt, its = _cg(S32t, bt, ones32,
-                                          max(cg_tol_, 2e-6), cg_max_)
+                                          tol32, cg_max_)
                             return (xt.astype(u.dtype) * sqinv), its
 
                     w, cg_its = solve32(rhs)
                     rhsn2 = jnp.vdot(rhs, rhs)
+                    # refinement target: fixed ~1e-9 relative (f32 noise
+                    # floor), or the EW forcing eta when adaptive
+                    rthresh = ((eta * eta) * rhsn2 if forcing_ew
+                               else 1e-18 * rhsn2)
                     for _ in range(2):
                         r = jnp.where(free, rhs - S(w), 0.0)
                         rn2 = jnp.vdot(r, r)
                         # refine only while the relative residual is above
-                        # ~1e-9 — beyond that the f32 CG operates at its
-                        # noise floor and returns garbage
+                        # the target — beyond that the f32 CG operates at
+                        # its noise floor and returns garbage
                         e, its2 = jax.lax.cond(
-                            rn2 > 1e-18 * rhsn2,
+                            rn2 > rthresh,
                             lambda rr: solve32(rr),
                             lambda rr: (jnp.zeros_like(rr), 0),
                             r)
@@ -525,11 +565,12 @@ class P1ObstacleSolver:
                 best = (jnp.where(improved, u, bu),
                         jnp.where(improved, psi, bp),
                         jnp.minimum(nrm, bn))
-                return it + 1, u, psi, nrm, cg_total + cg_its, best
+                return (it + 1, u, psi, nrm, cg_total + cg_its, best,
+                        nrm_in)
 
             init_best = (u, psi, norm0)
-            it, _, _, nrm, cg_total, best = jax.lax.while_loop(
-                cond, body, (0, u, psi, norm0, 0, init_best))
+            it, _, _, nrm, cg_total, best, _ = jax.lax.while_loop(
+                cond, body, (0, u, psi, norm0, 0, init_best, norm0))
             u, psi, nrm = best
             # outer-loop increment fused here: one kernel per outer
             # iteration, no extra small-op compiles on device
