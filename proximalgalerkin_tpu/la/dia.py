@@ -15,8 +15,44 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def delta_device_put(data: np.ndarray, max_frac: float = 0.05) -> jnp.ndarray:
+    """Bandwidth-lean host->HBM transfer of near-constant diagonal data.
+
+    Structured-mesh stiffness diagonals are constant except near boundary
+    rows, so instead of streaming the dense (ndiags, n) f64 array through
+    the (variable-bandwidth) host<->device tunnel, ship one base value per
+    diagonal plus the sparse exceptions and materialize on device — ~1 MB
+    instead of ~120 MB at 1024^2, which is what regressed BENCH_r03's
+    setup to 306 s on a degraded tunnel. Falls back to a plain transfer
+    when exceptions exceed max_frac of the entries (unstructured data).
+    """
+    nd, n = data.shape
+    base = np.empty(nd)
+    exc_idx, exc_val = [], []
+    for d in range(nd):
+        vals, counts = np.unique(data[d], return_counts=True)
+        b = vals[np.argmax(counts)]
+        base[d] = b
+        ex = np.flatnonzero(data[d] != b)
+        exc_idx.append(ex.astype(np.int64) + d * n)
+        exc_val.append(data[d][ex])
+    idx = np.concatenate(exc_idx)
+    if len(idx) > max_frac * nd * n:
+        return jnp.asarray(data)
+    val = np.concatenate(exc_val)
+
+    @jax.jit
+    def _materialize(base_d, idx_d, val_d):
+        flat = jnp.broadcast_to(base_d[:, None], (nd, n)).reshape(-1)
+        return flat.at[idx_d].set(val_d).reshape(nd, n)
+
+    return _materialize(jnp.asarray(base), jnp.asarray(idx),
+                        jnp.asarray(val))
 
 
 @dataclass
@@ -29,12 +65,11 @@ class DiaMatrix:
     n: int
 
     @classmethod
-    def from_csr_arrays(cls, rows: np.ndarray, cols: np.ndarray,
-                        vals: np.ndarray, n: int,
-                        max_diags: int = 64) -> Optional["DiaMatrix"]:
-        """Build DIA from COO/CSR triplets; returns None if the pattern
-        needs more than max_diags distinct diagonals (caller falls back
-        to ELL)."""
+    def host_build(cls, rows: np.ndarray, cols: np.ndarray,
+                   vals: np.ndarray, n: int, max_diags: int = 64
+                   ) -> Optional[Tuple[Tuple[int, ...], np.ndarray]]:
+        """Pure-host DIA packing: (offsets, data (ndiags, n) numpy) or None
+        if the pattern needs more than max_diags distinct diagonals."""
         deltas = cols.astype(np.int64) - rows.astype(np.int64)
         offs = np.unique(deltas)
         if len(offs) > max_diags:
@@ -45,8 +80,20 @@ class DiaMatrix:
         # last-write-wins and silently dropped repeated entries (e.g. ELL
         # (row,row,0) padding zeroing the stored diagonal)
         np.add.at(data, (d_idx, rows), vals)
-        return cls(offsets=tuple(int(o) for o in offs),
-                   data=jnp.asarray(data), n=int(n))
+        return tuple(int(o) for o in offs), data
+
+    @classmethod
+    def from_csr_arrays(cls, rows: np.ndarray, cols: np.ndarray,
+                        vals: np.ndarray, n: int,
+                        max_diags: int = 64) -> Optional["DiaMatrix"]:
+        """Build DIA from COO/CSR triplets; returns None if the pattern
+        needs more than max_diags distinct diagonals (caller falls back
+        to ELL)."""
+        built = cls.host_build(rows, cols, vals, n, max_diags)
+        if built is None:
+            return None
+        offs, data = built
+        return cls(offsets=offs, data=delta_device_put(data), n=int(n))
 
     def spmv(self, x: jnp.ndarray, data: Optional[jnp.ndarray] = None
              ) -> jnp.ndarray:

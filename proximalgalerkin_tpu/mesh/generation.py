@@ -48,9 +48,17 @@ def rectangle_mesh(nx: int, ny: int,
     I, J = I.ravel(), J.ravel()
     v00, v10, v01, v11 = vid(I, J), vid(I + 1, J), vid(I, J + 1), vid(I + 1, J + 1)
 
+    # closed-form boundary vertex ids (Mesh.boundary_vertices fast path)
+    gi, gj = np.meshgrid(np.arange(nx + 1), np.arange(ny + 1), indexing="ij")
+    on_b = (gi == 0) | (gi == nx) | (gj == 0) | (gj == ny)
+    bverts = vid(gi[on_b], gj[on_b]).astype(np.int64)
+    bverts.sort()
+
     if cell_type == "quadrilateral":
         cells = np.stack([v00, v10, v01, v11], axis=1)
-        return Mesh("quadrilateral", pts, cells)
+        m = Mesh("quadrilateral", pts, cells)
+        m._boundary_vertices_hint = bverts
+        return m
 
     if diagonal == "right":
         t1 = np.stack([v00, v10, v11], axis=1)
@@ -73,7 +81,9 @@ def rectangle_mesh(nx: int, ny: int,
         cells = np.concatenate([t1, t2, t3, t4], axis=0)
     else:
         raise ValueError(diagonal)
-    return Mesh("triangle", pts, cells)
+    m = Mesh("triangle", pts, cells)
+    m._boundary_vertices_hint = bverts
+    return m
 
 
 def unit_square_mesh(nx: int, ny: int, cell_type: str = "triangle",

@@ -171,6 +171,11 @@ class Mesh:
         return ext[keep]
 
     def boundary_vertices(self) -> np.ndarray:
+        # structured generators know their boundary in closed form and set
+        # the hint — skips the facet sort-dedup (~6 s at 1024^2)
+        hint = getattr(self, "_boundary_vertices_hint", None)
+        if hint is not None:
+            return hint
         return np.unique(self.facet_vertices[self.exterior_facets])
 
     def h_max(self) -> float:

@@ -121,6 +121,15 @@ class P1ObstacleSolver:
                  pc: str = "jacobi",
                  cg_forcing: str = "fixed",
                  dtype=jnp.float64):
+        if cg_forcing not in ("fixed", "ew"):
+            raise ValueError(
+                f"cg_forcing must be 'fixed' or 'ew', got {cg_forcing!r}")
+        if cg_forcing == "ew" and not mixed_precision:
+            # the EW logic lives only in the mixed-precision inner solve;
+            # silently ignoring it would corrupt A/B measurements
+            raise ValueError(
+                "cg_forcing='ew' only affects the mixed_precision=True "
+                "inner solve; combine it with mixed_precision=True")
         self.mesh = mesh
         V = FunctionSpace.create(mesh, 1)
         self.V = V
@@ -171,7 +180,6 @@ class P1ObstacleSolver:
         # baseline in bench.py builds the reference saddle matrix from this
         # (NOT from A_data, whose layout changes if the DIA path is taken)
         self.A_csr_host = csr
-        self.A_data = jnp.asarray(csr[pattern.ell_gather], dtype)
 
         # lumped mass vector: M_L[i] = ∫ phi_i dx
         ML = scatter_add(Me.reshape(-1),
@@ -180,20 +188,31 @@ class P1ObstacleSolver:
 
         # DIA fast path: when the stiffness pattern lives on few
         # diagonals (structured meshes / banded orderings), SpMV becomes
-        # static shifts + FMAs — no TPU gathers (la/dia.py)
-        from ..la.dia import DiaMatrix
+        # static shifts + FMAs — no TPU gathers (la/dia.py). Built on HOST
+        # first so (a) the ELL-form device transfer is skipped entirely
+        # when DIA succeeds, and (b) the transfer itself is delta-encoded
+        # (~1 MB instead of ~60 MB at 1024^2 — setup H2D through the axon
+        # tunnel was the BENCH_r03 306 s setup regression).
+        from ..la.dia import DiaMatrix, delta_device_put
         K = pattern.width
-        # only TRUE csr slots — ELL (row, row, 0.0) padding entries would
-        # collide with the genuine diagonal in DIA storage
-        eg_flat = np.asarray(pattern.ell_gather).reshape(-1)
-        true_mask = eg_flat < pattern.nnz
-        dia_rows = np.repeat(np.arange(N, dtype=np.int64), K)[true_mask]
-        dia_cols = np.asarray(pattern.ell_cols).reshape(-1)[true_mask]
-        dia_vals = csr[eg_flat[true_mask]]
-        self.dia = DiaMatrix.from_csr_arrays(
-            dia_rows, dia_cols, dia_vals, N) if use_dia else None
-        if self.dia is not None:
+        dia_host = None
+        if use_dia:
+            # only TRUE csr slots — ELL (row, row, 0.0) padding entries
+            # would collide with the genuine diagonal in DIA storage
+            eg_flat = np.asarray(pattern.ell_gather).reshape(-1)
+            true_mask = eg_flat < pattern.nnz
+            dia_rows = np.repeat(np.arange(N, dtype=np.int64), K)[true_mask]
+            dia_cols = np.asarray(pattern.ell_cols).reshape(-1)[true_mask]
+            dia_vals = csr[eg_flat[true_mask]]
+            dia_host = DiaMatrix.host_build(dia_rows, dia_cols, dia_vals, N)
+        if dia_host is not None:
+            offs, ddata = dia_host
+            self.dia = DiaMatrix(offsets=offs, data=delta_device_put(ddata),
+                                 n=N)
             self.A_data = self.dia.data
+        else:
+            self.dia = None
+            self.A_data = jnp.asarray(csr[pattern.ell_gather], dtype)
 
         self.phi = jnp.asarray(obstacle(V.dof_points.T), dtype)
         mask = np.ones(N)
@@ -241,7 +260,9 @@ class P1ObstacleSolver:
                   set(abs(int(o)) for o in self.dia.offsets)
                   <= {0, 1, m, m + 1})
             if ok:
-                dd = np.asarray(self.dia.data)
+                # host copy from the host build — NOT np.asarray(device
+                # data), which costs a 60 MB D2H through the tunnel
+                dd = dia_host[1]
                 offs = [int(o) for o in self.dia.offsets]
                 interior2 = np.asarray(mask, bool).reshape(m, m)
                 interior2[[0, -1], :] = False
@@ -316,11 +337,14 @@ class P1ObstacleSolver:
         cg_tol_ = cg_tol
         cg_max_ = self.cg_max
         # Eisenstat–Walker-style inexact-Newton forcing (mixed path only):
-        # the direction residual only needs to be small RELATIVE TO WHERE
-        # NEWTON IS — eta_k = clip(0.5*stop/||F_k||, 1e-9, 1e-3) — so early
-        # steps solve to ~1e-3 instead of 2e-6 and skip the refinement
-        # passes, tightening automatically as ||F|| approaches the Newton
-        # stop. "fixed" (default) keeps the round-3 behavior bit-for-bit.
+        # the direction residual only needs to be small RELATIVE TO HOW
+        # FAST NEWTON IS CONVERGING — EW choice 2:
+        #   eta_k = clip(max(0.9*(|F_k|/|F_{k-1}|)^2, 0.1*stop/|F_k|),
+        #                1e-9, 1e-2)
+        # (loose while Newton progresses fast, never looser than what
+        # landing under the Newton stop requires), forced tight once
+        # |F_k| < 100*stop. "fixed" (default) keeps the round-3 behavior
+        # bit-for-bit. Implemented in the mixed-precision branch below.
         forcing_ew = (cg_forcing == "ew")
 
         # The latent variable dives to psi ~ -O(sum alpha) at contact nodes

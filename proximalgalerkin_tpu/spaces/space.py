@@ -111,6 +111,20 @@ class FunctionSpace:
 
     def boundary_dofs(self, marker: Optional[Callable] = None,
                       components: Optional[Sequence[int]] = None) -> np.ndarray:
+        # degree-1 fast path: vertex dofs are numbered BY vertex id
+        # (dofmap.py), so on structured meshes that carry a closed-form
+        # boundary hint the whole facet sort-dedup is skipped
+        if (marker is None and self.element.degree == 1
+                and not self.element.discontinuous
+                and getattr(self.mesh, "_boundary_vertices_hint", None)
+                is not None):
+            sdofs = self.mesh.boundary_vertices().astype(np.int64)
+            if self.value_size == 1:
+                return sdofs.astype(np.int32)
+            comps = (np.arange(self.value_size) if components is None
+                     else np.asarray(components))
+            return (sdofs[:, None] * self.value_size
+                    + comps[None, :]).reshape(-1).astype(np.int32)
         facets = (self.mesh.exterior_facets if marker is None
                   else self.mesh.locate_entities_boundary(marker))
         return self.facet_closure_dofs(facets, components)
