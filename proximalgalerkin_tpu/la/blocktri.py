@@ -40,6 +40,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _block_inv(M):
+    """Dense block inverse in the factor dtype.
+
+    f32 (and any dtype on CPU): LAPACK/XLA LU inverse directly. f64 on
+    the TPU: the LuDecomposition custom call is f32-only, so compute the
+    f32 inverse and recover f64 accuracy with three Newton-Schulz steps
+    X <- X (2I - M X) in (emulated-)f64 matmuls. This converges even for
+    the multiphase saturated-softmax blocks (measured block cond ~5e10 at
+    50^2: NS(3) residual 7e-10) because the ill-conditioning is DIAGONAL
+    — the eps0=1e-9 psi regularization makes tiny but accurately-computed
+    pivots, so the f32 LU inverse has small componentwise backward error
+    and rho(I - M X0) << 1 despite cond >> 1/eps_f32."""
+    if M.dtype != jnp.float64 or jax.default_backend() == "cpu":
+        return jnp.linalg.inv(M)
+    X = jnp.linalg.inv(M.astype(jnp.float32)).astype(jnp.float64)
+    eye2 = 2.0 * jnp.eye(M.shape[-1], dtype=jnp.float64)
+    for _ in range(3):
+        X = X @ (eye2 - M @ X)
+    return X
+
+
 def _line_ids(points: np.ndarray, axis: int) -> np.ndarray:
     """Rank of each dof's quantized coordinate level along `axis`."""
     c = points[:, axis]
@@ -68,6 +89,7 @@ class LineBlocking:
     tgt_l: np.ndarray
     tgt_u: np.ndarray
     pad_idx: np.ndarray
+    dense_ok: bool = True
 
     @classmethod
     def build(cls, pattern, points: np.ndarray,
@@ -78,7 +100,12 @@ class LineBlocking:
         groups `span` lines per block (span = max coupling distance in
         lines), and precomputes the ELL-slot -> dense-block scatter maps.
         Raises ValueError when the dof graph is not line-structured enough
-        (callers fall back to another solver).
+        (callers fall back to another solver). When the DENSE factor
+        tensors (5 live (nb,bs,bs) arrays) exceed max_bytes but the
+        STREAMED variant (one Minv tensor + per-step transients,
+        bt_factor_streamed) fits, a LineBlocking with dense_ok=False is
+        returned instead of raising — the eigenvalue 100^2 case
+        (nb=101, bs=3612: 26 GB dense vs ~5.7 GB streamed on 16 GB HBM).
         """
         N, K = pattern.ell_cols.shape
         ell_cols = pattern.ell_cols.astype(np.int64)
@@ -103,10 +130,13 @@ class LineBlocking:
         if best is None:
             raise ValueError("dof graph is not line-structured")
         bs, nb, blk, span = best
-        if 5.0 * nb * bs * bs * 4 > max_bytes:
+        dense_ok = 5.0 * nb * bs * bs * 4 <= max_bytes
+        # streamed live set: the Minv stack + ~6 (bs,bs) transients
+        if not dense_ok and (nb + 6.0) * bs * bs * 4 > max_bytes:
             raise ValueError(
-                f"block-tridiagonal factors too large: nb={nb} bs={bs} "
-                f"(~{5 * nb * bs * bs * 4 / 1e9:.1f} GB)")
+                f"block-tridiagonal factors too large even streamed: "
+                f"nb={nb} bs={bs} "
+                f"(~{(nb + 6) * bs * bs * 4 / 1e9:.1f} GB)")
 
         # position of each dof inside its block (stable order within block)
         order = np.lexsort((np.arange(N), blk))
@@ -136,7 +166,8 @@ class LineBlocking:
                    tgt_d=tgt_d.astype(np.int32),
                    tgt_l=tgt_l.astype(np.int32),
                    tgt_u=tgt_u.astype(np.int32),
-                   pad_idx=np.asarray(pad, dtype=np.int32))
+                   pad_idx=np.asarray(pad, dtype=np.int32),
+                   dense_ok=bool(dense_ok))
 
     def device_maps(self):
         """Index arrays as a pytree of device arrays (pass as jit args)."""
@@ -150,26 +181,90 @@ class LineBlocking:
             })
         return self._maps
 
+    def streamed_maps(self) -> dict:
+        """Per-block padded COO maps for the STREAMED factor/apply
+        (bt_factor_streamed / bt_apply_streamed): instead of materializing
+        dense (nb,bs,bs) D/L/U tensors, each scan step scatters only ITS
+        block's ELL entries, so the live set is the Minv stack plus a few
+        (bs,bs) transients. Padding convention: src = NK (gathers the
+        appended zero of flat_p), i = bs (scatter-dropped), j = 0.
 
-@partial(jax.jit, static_argnames=("nb", "bs"))
-def bt_assemble(ell_data, ell_cols, maps, nb: int, bs: int):
-    """Equilibrate ELL data, cast f32, scatter into dense (D, L, U) blocks.
+        Keys (device arrays): d_src/d_tgt (nb, Pd) with d_tgt in
+        [0, bs*bs]; pad (nb, bs) per-block diagonal fill positions;
+        l_src/l_i/l_j and u_src/u_i/u_j (nb-1, P*).
+        """
+        if hasattr(self, "_smaps"):
+            return self._smaps
+        nb, bs = self.nb, self.bs
+        bsq = bs * bs
+        NK = len(self.tgt_d)
+
+        def group(tgt_flat, nblocks, pad_loc):
+            sel = np.flatnonzero(tgt_flat < nblocks * bsq)
+            blk = tgt_flat[sel].astype(np.int64) // bsq
+            loc = tgt_flat[sel].astype(np.int64) % bsq
+            order = np.argsort(blk, kind="stable")
+            blk, loc, src = blk[order], loc[order], sel[order]
+            counts = np.bincount(blk, minlength=nblocks)
+            P = max(int(counts.max()), 1)
+            starts = np.concatenate([[0], np.cumsum(counts)])
+            src_pad = np.full((nblocks, P), NK, np.int64)
+            loc_pad = np.full((nblocks, P), pad_loc, np.int64)
+            pos = np.arange(len(blk)) - starts[blk]
+            src_pad[blk, pos] = src
+            loc_pad[blk, pos] = loc
+            return src_pad, loc_pad
+
+        d_src, d_tgt = group(self.tgt_d.astype(np.int64), nb, bsq)
+        l_src, l_tgt = group(self.tgt_l.astype(np.int64), nb - 1, bsq)
+        u_src, u_tgt = group(self.tgt_u.astype(np.int64), nb - 1, bsq)
+        # per-block diagonal fill of padding dofs: (nb, bs), drop slot bsq
+        pad = np.full((nb, bs), bsq, np.int64)
+        pidx = self.pad_idx.astype(np.int64)
+        pblk, ploc = pidx // bsq, pidx % bsq
+        for k in range(nb):
+            lk = ploc[pblk == k]
+            pad[k, :len(lk)] = lk
+        sm = {
+            "d_src": jnp.asarray(d_src), "d_tgt": jnp.asarray(d_tgt),
+            "pad": jnp.asarray(pad),
+            "l_src": jnp.asarray(l_src),
+            "l_i": jnp.asarray(l_tgt // bs), "l_j": jnp.asarray(l_tgt % bs),
+            "u_src": jnp.asarray(u_src),
+            "u_i": jnp.asarray(u_tgt // bs), "u_j": jnp.asarray(u_tgt % bs),
+        }
+        object.__setattr__(self, "_smaps", sm)
+        return sm
+
+
+@partial(jax.jit, static_argnames=("nb", "bs", "dtype"))
+def bt_assemble(ell_data, ell_cols, maps, nb: int, bs: int,
+                dtype: str = "f32"):
+    """Equilibrate ELL data, cast to the factor dtype, scatter into dense
+    (D, L, U) blocks.
 
     Returns (D, L, U, s) with s the f64 symmetric scale (|diag|^-1/2):
     the factored system is S A S, so directions are dx = s * solve(s * b).
+
+    dtype: 'f32' (default; refinement recovers f64 accuracy) or 'f64' for
+    systems whose equilibrated condition number exceeds ~1/eps_f32 — the
+    multiphase softmax Jacobian saturates its psi block to ~eps0=1e-9 and
+    the f32 factor stops being a contraction (refinement diverges); MUMPS
+    in the reference is always f64 (multiphase_dolfinx.py petsc options).
     """
+    fdt = jnp.float32 if dtype == "f32" else jnp.float64
     row = jnp.arange(ell_data.shape[0])[:, None]
     diag = jnp.sum(jnp.where(ell_cols == row, ell_data, 0.0), axis=1)
     s = jnp.where(jnp.abs(diag) > 1e-300,
                   1.0 / jnp.sqrt(jnp.abs(diag)), 1.0)
-    data_s = (s[:, None] * ell_data * s[ell_cols]).astype(jnp.float32)
+    data_s = (s[:, None] * ell_data * s[ell_cols]).astype(fdt)
     flat = data_s.reshape(-1)
-    D = jnp.zeros(nb * bs * bs, jnp.float32).at[maps["tgt_d"]].add(
+    D = jnp.zeros(nb * bs * bs, fdt).at[maps["tgt_d"]].add(
         flat, mode="drop")
     D = D.at[maps["pad_idx"]].add(1.0, mode="drop")
-    L = jnp.zeros((nb - 1) * bs * bs, jnp.float32).at[maps["tgt_l"]].add(
+    L = jnp.zeros((nb - 1) * bs * bs, fdt).at[maps["tgt_l"]].add(
         flat, mode="drop")
-    U = jnp.zeros((nb - 1) * bs * bs, jnp.float32).at[maps["tgt_u"]].add(
+    U = jnp.zeros((nb - 1) * bs * bs, fdt).at[maps["tgt_u"]].add(
         flat, mode="drop")
     return (D.reshape(nb, bs, bs), L.reshape(nb - 1, bs, bs),
             U.reshape(nb - 1, bs, bs), s)
@@ -192,10 +287,10 @@ def bt_factor(D, L, U):
         def step(Minv_prev, ops):
             Dk, Lk, Uk_prev = ops
             T_prev = Minv_prev @ Uk_prev
-            Minv = jnp.linalg.inv(Dk - Lk @ T_prev)
+            Minv = _block_inv(Dk - Lk @ T_prev)
             return Minv, (Minv, T_prev)
 
-        Minv0 = jnp.linalg.inv(D[0])
+        Minv0 = _block_inv(D[0])
         _, (Minv_rest, T) = jax.lax.scan(step, Minv0, (D[1:], L, U))
         return jnp.concatenate([Minv0[None], Minv_rest], axis=0), T
 
@@ -227,10 +322,12 @@ def bt_apply(Minv, T, L, b_blocks):
 
 @partial(jax.jit, static_argnames=("nb", "bs"))
 def bt_solve(Minv, T, L, s, b64, maps, nb: int, bs: int):
-    """f64 rhs -> f64 direction through the f32 factors (one refinement-
-    free pass; accuracy comes from the caller's refinement loop)."""
-    bb = jnp.zeros(nb * bs, jnp.float32).at[maps["rhs_idx"]].set(
-        (s * b64).astype(jnp.float32))
+    """f64 rhs -> f64 direction through the factors (one refinement-free
+    pass; the factor dtype — f32 default, f64 for ill-conditioned systems
+    — is inferred from Minv)."""
+    fdt = Minv.dtype
+    bb = jnp.zeros(nb * bs, fdt).at[maps["rhs_idx"]].set(
+        (s * b64).astype(fdt))
     xb = bt_apply(Minv, T, L, bb.reshape(nb, bs)).reshape(-1)
     return s * xb[maps["rhs_idx"]].astype(b64.dtype)
 
@@ -238,10 +335,11 @@ def bt_solve(Minv, T, L, s, b64, maps, nb: int, bs: int):
 class BlockTriFactorization:
     """One assembled+factored system: solve(b64)->dx64, all device."""
 
-    def __init__(self, blocking: LineBlocking, ell, data64, arrays):
+    def __init__(self, blocking: LineBlocking, ell, data64, arrays,
+                 dtype: str = "f32"):
         maps = blocking.device_maps()
         D, L, U, s = bt_assemble(data64, arrays["ell_cols"], maps,
-                                 blocking.nb, blocking.bs)
+                                 blocking.nb, blocking.bs, dtype)
         self.Minv, self.T = bt_factor(D, L, U)
         self.L = L
         self.s = s
@@ -252,3 +350,130 @@ class BlockTriFactorization:
         b64 = jnp.asarray(b)
         return bt_solve(self.Minv, self.T, self.L, self.s, b64,
                         self._maps, self._nb, self._bs)
+
+
+# ----------------------------------------------------- streamed variant
+
+@partial(jax.jit, static_argnames=("dtype",))
+def bt_equilibrate(ell_data, ell_cols, dtype: str = "f32"):
+    """Symmetric Jacobi equilibration -> (flat_p, s): flat_p is the
+    (N*K+1,) scaled ELL data in the factor dtype with an appended zero
+    (the gather target of padded map slots), s the f64 scale as in
+    bt_assemble."""
+    fdt = jnp.float32 if dtype == "f32" else jnp.float64
+    row = jnp.arange(ell_data.shape[0])[:, None]
+    diag = jnp.sum(jnp.where(ell_cols == row, ell_data, 0.0), axis=1)
+    s = jnp.where(jnp.abs(diag) > 1e-300,
+                  1.0 / jnp.sqrt(jnp.abs(diag)), 1.0)
+    data_s = (s[:, None] * ell_data * s[ell_cols]).astype(fdt)
+    flat_p = jnp.concatenate(
+        [data_s.reshape(-1), jnp.zeros((1,), fdt)])
+    return flat_p, s
+
+
+@partial(jax.jit, static_argnames=("nb", "bs"))
+def bt_factor_streamed(flat_p, sm, nb: int, bs: int):
+    """Memory-lean block-Thomas factor: only the (nb, bs, bs) Minv stack
+    is materialized; D/L/U blocks are scattered from the ELL data inside
+    each scan step and never stored. Live set ~ (nb + 6) bs^2 f32 vs the
+    dense path's 5 nb bs^2 — the difference between 26 GB and 5.7 GB at
+    eigenvalue-100^2 scale (nb=101, bs=3612), i.e. between host-LU
+    fallback and an all-device record on a 16 GB v5e. Matmul precision
+    pinned for the same MXU-bf16 reason as bt_factor."""
+    bsq = bs * bs
+
+    def dense(src, tgt, pad=None):
+        M = jnp.zeros(bsq, flat_p.dtype).at[tgt].add(flat_p[src],
+                                                     mode="drop")
+        if pad is not None:
+            M = M.at[pad].add(1.0, mode="drop")
+        return M.reshape(bs, bs)
+
+    with jax.default_matmul_precision("highest"):
+        M0 = dense(sm["d_src"][0], sm["d_tgt"][0], sm["pad"][0])
+        Minv0 = _block_inv(M0)
+
+        def step(Minv_prev, xs):
+            d_src, d_tgt, padk, l_src, l_i, l_j, u_src, u_i, u_j = xs
+            Dk = dense(d_src, d_tgt, padk)
+            Lk = dense(l_src, l_i * bs + l_j)
+            Ukm1 = dense(u_src, u_i * bs + u_j)
+            T_prev = Minv_prev @ Ukm1
+            Minv = _block_inv(Dk - Lk @ T_prev)
+            return Minv, Minv
+
+        xs = (sm["d_src"][1:], sm["d_tgt"][1:], sm["pad"][1:],
+              sm["l_src"], sm["l_i"], sm["l_j"],
+              sm["u_src"], sm["u_i"], sm["u_j"])
+        _, Minv_rest = jax.lax.scan(step, Minv0, xs)
+        return jnp.concatenate([Minv0[None], Minv_rest], axis=0)
+
+
+@jax.jit
+def bt_apply_streamed(Minv, flat_p, sm, b_blocks):
+    """Forward/back substitution with sparse L/U actions reconstructed
+    from the ELL data per step (nothing dense stored beyond Minv):
+      fwd: y_k = b_k - L_{k-1} (Minv_{k-1} y_{k-1})
+      bwd: x_k = Minv_k (y_k - U_k x_{k+1})
+    """
+    bs = Minv.shape[1]
+
+    def spcoo(src, i, j, v):
+        return jnp.zeros(bs, flat_p.dtype).at[i].add(
+            flat_p[src] * v[j], mode="drop")
+
+    with jax.default_matmul_precision("highest"):
+        def fwd(y_prev, xs):
+            Minv_prev, l_src, l_i, l_j, bk = xs
+            t = Minv_prev @ y_prev
+            y = bk - spcoo(l_src, l_i, l_j, t)
+            return y, y
+
+        y0 = b_blocks[0]
+        _, y_rest = jax.lax.scan(
+            fwd, y0, (Minv[:-1], sm["l_src"], sm["l_i"], sm["l_j"],
+                      b_blocks[1:]))
+        y = jnp.concatenate([y0[None], y_rest], axis=0)
+
+        def bwd(x_next, xs):
+            Minv_k, u_src, u_i, u_j, yk = xs
+            xk = Minv_k @ (yk - spcoo(u_src, u_i, u_j, x_next))
+            return xk, xk
+
+        xK = Minv[-1] @ y[-1]
+        _, x_rest = jax.lax.scan(
+            bwd, xK, (Minv[:-1], sm["u_src"], sm["u_i"], sm["u_j"],
+                      y[:-1]), reverse=True)
+        return jnp.concatenate([x_rest, xK[None]], axis=0)
+
+
+@partial(jax.jit, static_argnames=("nb", "bs"))
+def bt_solve_streamed(Minv, flat_p, s, b64, rhs_idx, sm, nb: int, bs: int):
+    fdt = flat_p.dtype
+    bb = jnp.zeros(nb * bs, fdt).at[rhs_idx].set(
+        (s * b64).astype(fdt))
+    xb = bt_apply_streamed(Minv, flat_p, sm, bb.reshape(nb, bs)).reshape(-1)
+    return s * xb[rhs_idx].astype(b64.dtype)
+
+
+class StreamedBlockTriFactorization:
+    """Memory-lean assembled+factored system (see bt_factor_streamed):
+    same solve(b64)->dx64 interface as BlockTriFactorization."""
+
+    def __init__(self, blocking: LineBlocking, ell, data64, arrays,
+                 dtype: str = "f32"):
+        self._sm = blocking.streamed_maps()
+        self.flat_p, self.s = bt_equilibrate(data64, arrays["ell_cols"],
+                                             dtype)
+        self.Minv = bt_factor_streamed(self.flat_p, self._sm,
+                                       blocking.nb, blocking.bs)
+        # only rhs_idx — device_maps() would ship the 3 full-nnz dense
+        # scatter maps the streamed path exists to avoid
+        self._rhs_idx = jnp.asarray(blocking.rhs_idx)
+        self._nb, self._bs = blocking.nb, blocking.bs
+
+    def solve(self, b):
+        b64 = jnp.asarray(b)
+        return bt_solve_streamed(self.Minv, self.flat_p, self.s, b64,
+                                 self._rhs_idx, self._sm,
+                                 self._nb, self._bs)

@@ -122,7 +122,8 @@ class NewtonSolver:
         are single bounded f64 executions (no emulated-f64 device loops,
         which the axon runtime kernel-faults on). The factor costs ~0.1 s
         at gradient-200^2 scale, so it is rebuilt every call (no lag)."""
-        from ..la.blocktri import BlockTriFactorization
+        from ..la.blocktri import (BlockTriFactorization,
+                                   StreamedBlockTriFactorization)
         prob = self.problem
         opts = self.options
         blocking = prob.line_blocking()
@@ -130,8 +131,19 @@ class NewtonSolver:
         arrays = ell.arrays
         with self.timer.phase("bt_assemble"):
             data64 = prob.ell_data(x)
+        # streamed variant when the dense (nb,bs,bs) factor tensors exceed
+        # HBM (eigenvalue 100^2: 26 GB dense vs ~5.7 GB streamed) or when
+        # forced via pc_factor_streamed
+        streamed = (not blocking.dense_ok
+                    or bool(opts.opt("pc_factor_streamed", False)))
+        Fact = (StreamedBlockTriFactorization if streamed
+                else BlockTriFactorization)
+        # f64 factor for systems whose equilibrated conditioning defeats
+        # the f32-factor + refinement scheme (multiphase saturated softmax)
+        fdt = "f64" if str(opts.opt("pc_factor_dtype", "f32")) in (
+            "f64", "double") else "f32"
         with self.timer.phase("bt_factor"):
-            fact = BlockTriFactorization(blocking, ell, data64, arrays)
+            fact = Fact(blocking, ell, data64, arrays, dtype=fdt)
         b = -F
         bnorm = float(jnp.linalg.norm(b))
         tol = max(float(opts.opt("ksp_rtol")) * bnorm,
@@ -391,13 +403,20 @@ class NewtonSolver:
         SNES reason is reconstructed from a single readback."""
         opts = self.options
         prob = self.problem
+        pc_opts = {k: opts[k] for k in ("pc_schur_cheb_steps",
+                                        "pc_schur_power_iters",
+                                        "pc_schur_lmin_ratio",
+                                        "pc_mg_nu", "ksp_refine_max",
+                                        "pc_factor_streamed",
+                                        "pc_factor_dtype") if k in opts}
         fused = prob.fused_newton(
             opts.opt("ksp_type"), opts.opt("pc_type"),
             str(opts.opt("mat_type", "ell")),
             linesearch=opts.opt("snes_linesearch_type"),
             max_it=int(opts.opt("snes_max_it")),
             ksp_max_it=int(opts.opt("ksp_max_it")),
-            schur_field0=opts.opt("pc_schur_field0", None))
+            schur_field0=opts.opt("pc_schur_field0", None),
+            pc_opts=pc_opts)
         with self.timer.phase("newton_fused"):
             x, it, fn, f0, ls_ok, sconv = fused(
                 x0, prob.coeffs, prob.consts,

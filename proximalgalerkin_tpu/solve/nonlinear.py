@@ -204,6 +204,32 @@ class NonlinearProblem:
                              "and pc in ('jacobi', 'schur', 'schur_mg')")
         pc_opts = dict(pc_opts or {})
 
+        bt_ctx = None
+        if pc == "btlu":
+            # fully-traced block-tridiagonal direct direction: assemble ->
+            # equilibrate -> factor -> solve + fixed-budget refinement, all
+            # inside one XLA program. This is what lets fused_newton run a
+            # whole multiphase Newton solve as ONE device dispatch — the
+            # round-3 btlu probe lost to the axon tunnel's ~310 ms/dispatch
+            # because each refinement pass was several host-driven ops
+            # (RESULTS.md multiphase btlu probe).
+            if mat_type != "ell":
+                raise ValueError("pc='btlu' requires mat_type='ell'")
+            blocking = self.line_blocking()
+            bt_streamed = (not blocking.dense_ok
+                           or bool(pc_opts.get("pc_factor_streamed", False)))
+            # materialize the device maps EAGERLY: the lazy caches create
+            # jnp constants, and a constant first created inside the fused
+            # Newton's while_loop trace leaks its tracer (the mg.py
+            # _R_CACHE lesson)
+            bt_maps = (blocking.streamed_maps() if bt_streamed
+                       else blocking.device_maps())
+            bt_rhs = jnp.asarray(blocking.rhs_idx) if bt_streamed else None
+            bt_fdt = "f64" if str(pc_opts.get("pc_factor_dtype", "f32")) \
+                in ("f64", "double") else "f32"
+            bt_ctx = (blocking, bt_streamed, bt_maps, bt_rhs,
+                      int(pc_opts.get("ksp_refine_max", 6)), bt_fdt)
+
         m0_np = bc1_np = None
         mg_setup = None
         if pc in ("schur", "schur_mg"):
@@ -266,6 +292,51 @@ class NonlinearProblem:
                     return y.at[bc_idx].add(v[bc_idx])
 
             b = -F
+            if pc == "btlu":
+                from ..la import blocktri as btm
+                blocking, bt_streamed, maps, rhs_idx, passes, bt_fdt = bt_ctx
+                nb, bs = blocking.nb, blocking.bs
+                if bt_streamed:
+                    sm = maps
+                    flat_p, s_eq = btm.bt_equilibrate(
+                        data, ell_arrays["ell_cols"], bt_fdt)
+                    Minv = btm.bt_factor_streamed(flat_p, sm, nb, bs)
+
+                    def solve1(r):
+                        return btm.bt_solve_streamed(
+                            Minv, flat_p, s_eq, r, rhs_idx, sm, nb, bs)
+                else:
+                    D, L, U, s_eq = btm.bt_assemble(
+                        data, ell_arrays["ell_cols"], maps, nb, bs, bt_fdt)
+                    Minv, T = btm.bt_factor(D, L, U)
+
+                    def solve1(r):
+                        return btm.bt_solve(Minv, T, L, s_eq, r, maps,
+                                            nb, bs)
+
+                bnorm2 = jnp.vdot(b, b)
+                stop2 = jnp.maximum(rtol * rtol * bnorm2, atol * atol)
+                dx = solve1(b)
+
+                def body(carry, _):
+                    dx, done, rn2_prev = carry
+                    r = b - Av(dx)
+                    rn2 = jnp.vdot(r, r)
+                    # stop at tolerance OR at the f32-factor floor
+                    # (residual no longer contracting by ~0.7/pass —
+                    # _bt_direction's guard, 0.7^2 on the squared norm)
+                    done = jnp.logical_or(done, rn2 <= stop2)
+                    done = jnp.logical_or(done, rn2 > 0.49 * rn2_prev)
+                    e = jax.lax.cond(done,
+                                     lambda rr: jnp.zeros_like(rr),
+                                     solve1, r)
+                    return (dx + e, done, rn2), None
+
+                big = jnp.asarray(jnp.inf, b.dtype)
+                (dx, _, _), _ = jax.lax.scan(
+                    body, (dx, jnp.asarray(False), big), None,
+                    length=passes)
+                return dx
             if pc in ("schur", "schur_mg"):
                 from ..la.schur import make_schur_pc, make_schur_mg_pc
                 schur_kw = dict(
@@ -464,7 +535,8 @@ class NonlinearProblem:
 
     def fused_newton(self, ksp: str, pc: str, mat_type: str = "ell",
                      linesearch: str = "none", max_it: int = 100,
-                     ksp_max_it: int = 10_000, schur_field0=None):
+                     ksp_max_it: int = 10_000, schur_field0=None,
+                     pc_opts: Optional[Mapping] = None):
         """Whole-solve fused Newton: the complete while_loop (residual ->
         Krylov direction -> linesearch -> update) compiled as ONE XLA
         program — one kernel launch per Newton *solve*, no per-iteration
@@ -481,14 +553,15 @@ class NonlinearProblem:
         ksp_atol, damping) -> (x, it, fnorm, f0, ls_ok, sconv).
         """
         key = ("fused", ksp, pc, mat_type, linesearch, max_it, ksp_max_it,
-               schur_field0)
+               schur_field0, tuple(sorted((pc_opts or {}).items())))
         if key in self._direction_cache:
             return self._direction_cache[key]
 
         form = self.form
         bc_idx, bc_vals = self.bc_idx, self.bc_vals
         ell = self.ell_matrix if mat_type == "ell" else None
-        direction = self._make_direction_fn(ksp, pc, mat_type, schur_field0)
+        direction = self._make_direction_fn(ksp, pc, mat_type, schur_field0,
+                                            pc_opts=pc_opts)
 
         def solve(x0, coeffs, consts, rtol, atol, stol, ksp_rtol, ksp_atol,
                   damping, cell_data, ell_arrays):
@@ -521,18 +594,29 @@ class NonlinearProblem:
                 if linesearch == "bt":
                     alpha = 1e-4
                     g0 = 0.5 * fnorm * fnorm
-                    # halving backtracks with Armijo on 0.5||F||^2 and
-                    # slope -||F||^2 (exact-solve approximation)
+                    # Armijo on 0.5||F||^2 with the TRUE initslope
+                    # <J dx, F> (one jvp), matching the host bt
+                    # (newton.py): the exact-solve slope -||F||^2
+                    # overestimates the achievable decrease once the
+                    # direction solve saturates near the f64 floor,
+                    # making Armijo unsatisfiable and failing converged
+                    # solves with DIVERGED_LINE_SEARCH
+                    Jdx = jax.jvp(residual, (x,), (dx,))[1]
+                    islope = jnp.vdot(Jdx, residual(x))
+                    islope = jnp.where(
+                        jnp.logical_and(jnp.isfinite(islope), islope < 0.0),
+                        islope, -2.0 * g0)
+
                     def cond(s):
                         i, lam, ok = s
-                        return jnp.logical_and(i < 16, jnp.logical_not(ok))
+                        return jnp.logical_and(i < 30, jnp.logical_not(ok))
 
                     def body(s):
                         i, lam, ok = s
                         g = 0.5 * fsq(x + lam * dx)
                         ok = jnp.logical_and(
                             jnp.isfinite(g),
-                            g <= g0 - 2.0 * alpha * lam * g0)
+                            g <= g0 + alpha * lam * islope)
                         lam = jnp.where(ok, lam, 0.5 * lam)
                         return i + 1, lam, ok
 

@@ -45,6 +45,24 @@ def test_iteration_bookkeeping(solved):
     assert (solved.newton_iterations >= solved.lvpp_iterations).all()
 
 
+def test_fused_btlu_matches_default(solved):
+    """The one-dispatch-per-Newton-solve path (snes_fused +
+    block-tridiagonal direct direction traced into the Newton while_loop,
+    solve/nonlinear.py pc='btlu' branch) reproduces the host-loop
+    trajectory — the architecture that beats the axon tunnel's
+    ~310 ms/dispatch wall for the 50^2x700-step record (VERDICT r3 #4)."""
+    r2 = solve_multiphase(
+        N=10, M=10, tau0=1e-4, T=2e-4, stopping_tol=1e-5, verbose=False,
+        solver_options={"snes_fused": True, "ksp_type": "preonly",
+                        "pc_type": "btlu", "ksp_rtol": 1e-9,
+                        "pc_factor_dtype": "f64"})
+    ref = np.asarray(solved.u)
+    assert np.linalg.norm(np.asarray(r2.u) - ref) < 1e-8 * max(
+        1.0, np.linalg.norm(ref))
+    m = [float(x[0]) for x in r2.mass_history]
+    assert np.allclose(m, 1.0, atol=1e-10)
+
+
 def test_split_jacobian_matches_direct_jacfwd():
     """The csr_data_override (cached affine CSR data + softmax-only
     rediff on the psi subspace) must reproduce the full-jacfwd Jacobian
