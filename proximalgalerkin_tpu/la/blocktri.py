@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -333,15 +334,27 @@ def bt_solve(Minv, T, L, s, b64, maps, nb: int, bs: int):
 
 
 class BlockTriFactorization:
-    """One assembled+factored system: solve(b64)->dx64, all device."""
+    """One assembled+factored system: solve(b64)->dx64, all device.
+
+    apply_dtype='f32' with dtype='f64' is the production multiphase
+    combination: the FACTOR recursion needs f64 (f32 Schur-complement
+    error compounds through nb nested inversions until refinement
+    diverges at the record's conditioning) but the APPLY does not — the
+    f32-cast factors still contract refinement ~300x/pass (measured at
+    50^2 on the v5e: relres 3e-5 -> 2e-12 in 4 passes) at 30 ms/apply vs
+    160 ms for the emulated-f64 apply and 4 s for a refactor."""
 
     def __init__(self, blocking: LineBlocking, ell, data64, arrays,
-                 dtype: str = "f32"):
+                 dtype: str = "f32", apply_dtype: Optional[str] = None):
         maps = blocking.device_maps()
         D, L, U, s = bt_assemble(data64, arrays["ell_cols"], maps,
                                  blocking.nb, blocking.bs, dtype)
         self.Minv, self.T = bt_factor(D, L, U)
         self.L = L
+        if (apply_dtype or dtype) == "f32" and dtype != "f32":
+            self.Minv = self.Minv.astype(jnp.float32)
+            self.T = self.T.astype(jnp.float32)
+            self.L = self.L.astype(jnp.float32)
         self.s = s
         self._maps = maps
         self._nb, self._bs = blocking.nb, blocking.bs
@@ -461,12 +474,16 @@ class StreamedBlockTriFactorization:
     same solve(b64)->dx64 interface as BlockTriFactorization."""
 
     def __init__(self, blocking: LineBlocking, ell, data64, arrays,
-                 dtype: str = "f32"):
+                 dtype: str = "f32", apply_dtype: Optional[str] = None):
         self._sm = blocking.streamed_maps()
         self.flat_p, self.s = bt_equilibrate(data64, arrays["ell_cols"],
                                              dtype)
         self.Minv = bt_factor_streamed(self.flat_p, self._sm,
                                        blocking.nb, blocking.bs)
+        if (apply_dtype or dtype) == "f32" and dtype != "f32":
+            # see BlockTriFactorization: f64 factor, f32 apply
+            self.Minv = self.Minv.astype(jnp.float32)
+            self.flat_p = self.flat_p.astype(jnp.float32)
         # only rhs_idx — device_maps() would ship the 3 full-nnz dense
         # scatter maps the streamed path exists to avoid
         self._rhs_idx = jnp.asarray(blocking.rhs_idx)

@@ -142,29 +142,51 @@ class NewtonSolver:
         # the f32-factor + refinement scheme (multiphase saturated softmax)
         fdt = "f64" if str(opts.opt("pc_factor_dtype", "f32")) in (
             "f64", "double") else "f32"
-        with self.timer.phase("bt_factor"):
-            fact = Fact(blocking, ell, data64, arrays, dtype=fdt)
+        adt = str(opts.opt("pc_factor_apply_dtype", fdt))
+        lag = int(opts.opt("pc_factor_lag", 0) or 0)
         b = -F
         bnorm = float(jnp.linalg.norm(b))
         tol = max(float(opts.opt("ksp_rtol")) * bnorm,
                   float(opts.opt("ksp_atol")))
         refine_max = int(opts.opt("pc_factor_refine_max", 20) or 20)
         monitor = bool(opts.opt("ksp_monitor", False))
-        with self.timer.phase("bt_solve"):
-            dx = fact.solve(b)
-            rn_prev = None
-            for p in range(refine_max):
-                r = b - ell.spmv(data64, dx, arrays)
-                rn = float(jnp.linalg.norm(r))
-                if monitor:
-                    rank_print(f"      btlu pass {p}: |r|/|b| "
-                               f"{rn / max(bnorm, 1e-300):.2e}")
-                if not np.isfinite(rn) or rn <= tol:
-                    break
-                if rn_prev is not None and rn > 0.7 * rn_prev:
-                    break  # f32 factor floor reached
-                rn_prev = rn
-                dx = dx + fact.solve(r)
+
+        def refine(fact, fresh):
+            """Refine fact.solve against the CURRENT operator; -> (dx, ok).
+            A stale (lagged) factor is accepted only if refinement reaches
+            ksp tolerance; a fresh one returns its best dx regardless
+            (matching _lu_direction's lag contract)."""
+            with self.timer.phase("bt_solve"):
+                dx = fact.solve(b)
+                rn_prev = None
+                for p in range(refine_max):
+                    r = b - ell.spmv(data64, dx, arrays)
+                    rn = float(jnp.linalg.norm(r))
+                    if monitor:
+                        rank_print(
+                            f"      btlu[{'F' if fresh else 's'}] pass "
+                            f"{p}: |r|/|b| {rn / max(bnorm, 1e-300):.2e}")
+                    if not np.isfinite(rn):
+                        return dx, fresh
+                    if rn <= tol:
+                        return dx, True
+                    if rn_prev is not None and rn > 0.7 * rn_prev:
+                        return dx, fresh  # factor floor / too stale
+                    rn_prev = rn
+                    dx = dx + fact.solve(r)
+            return dx, fresh
+
+        fact = getattr(self, "_lagged_bt", None) if lag else None
+        if fact is not None:
+            dx, ok = refine(fact, fresh=False)
+            if ok:
+                return dx
+        with self.timer.phase("bt_factor"):
+            fact = Fact(blocking, ell, data64, arrays, dtype=fdt,
+                        apply_dtype=adt)
+        if lag:
+            self._lagged_bt = fact
+        dx, _ = refine(fact, fresh=True)
         return dx
 
     # ------------------------------------------------- lagged/ordered LU
@@ -408,15 +430,22 @@ class NewtonSolver:
                                         "pc_schur_lmin_ratio",
                                         "pc_mg_nu", "ksp_refine_max",
                                         "pc_factor_streamed",
-                                        "pc_factor_dtype") if k in opts}
-        fused = prob.fused_newton(
-            opts.opt("ksp_type"), opts.opt("pc_type"),
-            str(opts.opt("mat_type", "ell")),
-            linesearch=opts.opt("snes_linesearch_type"),
-            max_it=int(opts.opt("snes_max_it")),
-            ksp_max_it=int(opts.opt("ksp_max_it")),
-            schur_field0=opts.opt("pc_schur_field0", None),
-            pc_opts=pc_opts)
+                                        "pc_factor_dtype",
+                                        "pc_factor_apply_dtype") if k in opts}
+        if opts.opt("pc_type") == "btlu" and opts.opt("pc_factor_lag", 0):
+            fused = prob.fused_newton_btlu(
+                linesearch=opts.opt("snes_linesearch_type"),
+                max_it=int(opts.opt("snes_max_it")),
+                pc_opts=pc_opts)
+        else:
+            fused = prob.fused_newton(
+                opts.opt("ksp_type"), opts.opt("pc_type"),
+                str(opts.opt("mat_type", "ell")),
+                linesearch=opts.opt("snes_linesearch_type"),
+                max_it=int(opts.opt("snes_max_it")),
+                ksp_max_it=int(opts.opt("ksp_max_it")),
+                schur_field0=opts.opt("pc_schur_field0", None),
+                pc_opts=pc_opts)
         with self.timer.phase("newton_fused"):
             x, it, fn, f0, ls_ok, sconv = fused(
                 x0, prob.coeffs, prob.consts,

@@ -56,6 +56,58 @@ def _refined(solve_lo, Av, b, rtol, atol, max_passes, dx0=None):
     return dx
 
 
+def _fused_linesearch(linesearch, residual, fsq, x, dx, fnorm, damping):
+    """Jittable linesearch shared by the fused Newton solvers
+    -> (x_new, ok). Twins of NewtonSolver._linesearch's types:
+    'none' (damped), 'l2' (one secant/quadratic fit), 'bt' (Armijo on
+    0.5||F||^2 with halving backtracks and the TRUE initslope <J dx, F>
+    — the exact-solve slope -||F||^2 overestimates achievable decrease
+    once the direction solve saturates near the f64 floor, making Armijo
+    unsatisfiable on converged solves)."""
+    if linesearch == "none":
+        return x + damping * dx, jnp.array(True)
+    if linesearch == "l2":
+        lam = damping
+        f_old = fnorm * fnorm
+        f_mid = fsq(x + 0.5 * lam * dx)
+        f_new = fsq(x + lam * dx)
+        dF = (3.0 * f_new - 4.0 * f_mid + f_old) / lam
+        d2F = 4.0 * (f_new - 2.0 * f_mid + f_old) / lam**2
+        lam_t = jnp.where(jnp.abs(d2F) > 1e-300,
+                          lam - dF / d2F, 0.5 * lam)
+        lam_t = jnp.where(
+            jnp.logical_and(jnp.isfinite(lam_t), lam_t > 0.0),
+            lam_t, 0.5 * lam)
+        xn = x + lam_t * dx
+        return xn, jnp.isfinite(fsq(xn))
+    if linesearch == "bt":
+        alpha = 1e-4
+        g0 = 0.5 * fnorm * fnorm
+        Jdx = jax.jvp(residual, (x,), (dx,))[1]
+        islope = jnp.vdot(Jdx, residual(x))
+        islope = jnp.where(
+            jnp.logical_and(jnp.isfinite(islope), islope < 0.0),
+            islope, -2.0 * g0)
+
+        def cond(s):
+            i, lam, ok = s
+            return jnp.logical_and(i < 30, jnp.logical_not(ok))
+
+        def body(s):
+            i, lam, ok = s
+            g = 0.5 * fsq(x + lam * dx)
+            ok = jnp.logical_and(
+                jnp.isfinite(g),
+                g <= g0 + alpha * lam * islope)
+            lam = jnp.where(ok, lam, 0.5 * lam)
+            return i + 1, lam, ok
+
+        _, lam, ok = jax.lax.while_loop(
+            cond, body, (0, damping, jnp.array(False)))
+        return x + lam * dx, ok
+    raise ValueError(f"unknown fused linesearch {linesearch!r}")
+
+
 class NonlinearProblem:
     def __init__(self, form: VolumeForm, bcs: Sequence[DirichletBC] = (),
                  coeffs: Optional[Mapping] = None,
@@ -575,55 +627,8 @@ class NonlinearProblem:
 
             def do_linesearch(x, dx, fnorm):
                 """-> (x_new, ok)."""
-                if linesearch == "none":
-                    return x + damping * dx, jnp.array(True)
-                if linesearch == "l2":
-                    lam = damping
-                    f_old = fnorm * fnorm
-                    f_mid = fsq(x + 0.5 * lam * dx)
-                    f_new = fsq(x + lam * dx)
-                    dF = (3.0 * f_new - 4.0 * f_mid + f_old) / lam
-                    d2F = 4.0 * (f_new - 2.0 * f_mid + f_old) / lam**2
-                    lam_t = jnp.where(jnp.abs(d2F) > 1e-300,
-                                      lam - dF / d2F, 0.5 * lam)
-                    lam_t = jnp.where(
-                        jnp.logical_and(jnp.isfinite(lam_t), lam_t > 0.0),
-                        lam_t, 0.5 * lam)
-                    xn = x + lam_t * dx
-                    return xn, jnp.isfinite(fsq(xn))
-                if linesearch == "bt":
-                    alpha = 1e-4
-                    g0 = 0.5 * fnorm * fnorm
-                    # Armijo on 0.5||F||^2 with the TRUE initslope
-                    # <J dx, F> (one jvp), matching the host bt
-                    # (newton.py): the exact-solve slope -||F||^2
-                    # overestimates the achievable decrease once the
-                    # direction solve saturates near the f64 floor,
-                    # making Armijo unsatisfiable and failing converged
-                    # solves with DIVERGED_LINE_SEARCH
-                    Jdx = jax.jvp(residual, (x,), (dx,))[1]
-                    islope = jnp.vdot(Jdx, residual(x))
-                    islope = jnp.where(
-                        jnp.logical_and(jnp.isfinite(islope), islope < 0.0),
-                        islope, -2.0 * g0)
-
-                    def cond(s):
-                        i, lam, ok = s
-                        return jnp.logical_and(i < 30, jnp.logical_not(ok))
-
-                    def body(s):
-                        i, lam, ok = s
-                        g = 0.5 * fsq(x + lam * dx)
-                        ok = jnp.logical_and(
-                            jnp.isfinite(g),
-                            g <= g0 + alpha * lam * islope)
-                        lam = jnp.where(ok, lam, 0.5 * lam)
-                        return i + 1, lam, ok
-
-                    _, lam, ok = jax.lax.while_loop(
-                        cond, body, (0, damping, jnp.array(False)))
-                    return x + lam * dx, ok
-                raise ValueError(f"unknown fused linesearch {linesearch!r}")
+                return _fused_linesearch(linesearch, residual, fsq,
+                                         x, dx, fnorm, damping)
 
             x = x0.at[bc_idx].set(bc_vals)
             F = residual(x)
@@ -668,6 +673,183 @@ class NonlinearProblem:
                           form.cell_data,
                           ell.arrays if ell is not None else {})
 
+        self._direction_cache[key] = fn
+        return fn
+
+    def fused_newton_btlu(self, linesearch: str = "none", max_it: int = 100,
+                          pc_opts: Optional[Mapping] = None):
+        """Whole-solve fused Newton with a LAGGED block-tridiagonal direct
+        direction — the multiphase-record architecture (VERDICT r3 #4).
+
+        One XLA program runs the complete Newton solve; the factor
+        (f64 recursion, f32-cast apply, see la/blocktri.py) is carried in
+        the while_loop state AND across solve() calls (returned to the
+        caller as device arrays and fed back in), so consecutive solves
+        of the LVPP alpha loop reuse it. Each iteration first refines the
+        carried factor against the CURRENT assembled Jacobian; only when
+        refinement misses ksp tolerance (stale softmax state) does the
+        loop refactor — cutting the ~4 s/factor cost at 50^2 from
+        once-per-iteration to a handful per time step, and the axon
+        tunnel's ~310 ms/dispatch from ~10/direction to ~1/solve.
+
+        Returns fn(x0, coeffs, consts, rtol, atol, stol, ksp_rtol,
+        ksp_atol, damping) -> (x, it, fnorm, f0, ls_ok, sconv); the
+        factor state lives on fn (fn.reset() clears it,
+        fn.last_refactors reports the refactor count of the last call).
+        """
+        pc_opts = dict(pc_opts or {})
+        key = ("fused_btlu", linesearch, max_it,
+               tuple(sorted(pc_opts.items())))
+        if key in self._direction_cache:
+            return self._direction_cache[key]
+
+        from ..la import blocktri as btm
+        form = self.form
+        bc_idx, bc_vals = self.bc_idx, self.bc_vals
+        ell = self.ell_matrix
+        blocking = self.line_blocking()
+        if not blocking.dense_ok:
+            raise ValueError("fused lagged btlu requires the dense factor "
+                             "layout (blocking.dense_ok)")
+        maps = blocking.device_maps()  # eager: tracer-leak lesson (mg.py)
+        nb, bs = blocking.nb, blocking.bs
+        fdt = "f64" if str(pc_opts.get("pc_factor_dtype", "f32")) in (
+            "f64", "double") else "f32"
+        adt = str(pc_opts.get("pc_factor_apply_dtype", "f32"))
+        adt_j = jnp.float32 if adt == "f32" or fdt == "f32" \
+            else jnp.float64
+        passes = int(pc_opts.get("ksp_refine_max", 8))
+
+        def factor(data, ell_cols):
+            D, L, U, s = btm.bt_assemble(data, ell_cols, maps, nb, bs, fdt)
+            Minv, T = btm.bt_factor(D, L, U)
+            return (Minv.astype(adt_j), T.astype(adt_j),
+                    L.astype(adt_j), s)
+
+        def solve1(fact, r):
+            Minv, T, L, s = fact
+            return btm.bt_solve(Minv, T, L, s, r, maps, nb, bs)
+
+        def refine(fact, Av, b, stop2):
+            """Fixed-budget f64 refinement of the (possibly stale) factor
+            against the CURRENT operator -> (dx, reached_tol)."""
+            dx = solve1(fact, b)
+
+            def body(carry, _):
+                dx, done, rn2_prev = carry
+                r = b - Av(dx)
+                rn2 = jnp.vdot(r, r)
+                done = jnp.logical_or(done, rn2 <= stop2)
+                # stalled: no longer contracting by ~0.7/pass
+                done = jnp.logical_or(done, rn2 > 0.49 * rn2_prev)
+                e = jax.lax.cond(done, lambda rr: jnp.zeros_like(rr),
+                                 lambda rr: solve1(fact, rr), r)
+                return (dx + e, done, rn2), None
+
+            big = jnp.asarray(jnp.inf, b.dtype)
+            (dx, _, _), _ = jax.lax.scan(
+                body, (dx, jnp.asarray(False), big), None, length=passes)
+            r = b - Av(dx)
+            return dx, jnp.vdot(r, r) <= stop2
+
+        def solve(x0, coeffs, consts, rtol, atol, stol, ksp_rtol,
+                  ksp_atol, damping, cell_data, ell_arrays, fact, valid):
+            def residual(z):
+                F = form._residual_core(z, coeffs, consts, cell_data)
+                return F.at[bc_idx].set(z[bc_idx] - bc_vals)
+
+            def fsq(z):
+                F = residual(z)
+                return jnp.vdot(F, F)
+
+            x = x0.at[bc_idx].set(bc_vals)
+            F = residual(x)
+            f0 = jnp.linalg.norm(F)
+
+            def cond(s):
+                it, x, F, fn, ls_ok, sconv, fact, valid, nref = s
+                live = jnp.logical_and(fn > jnp.maximum(rtol * f0, atol),
+                                       jnp.isfinite(fn))
+                live = jnp.logical_and(live, jnp.logical_not(sconv))
+                return jnp.logical_and(
+                    jnp.logical_and(it < max_it, live), ls_ok)
+
+            def body(s):
+                it, x, F, fn, _, _, fact, valid, nref = s
+                Ae = form._element_matrices_core(x, coeffs, consts,
+                                                 cell_data)
+                data = ell.assemble(Ae, ell_arrays)
+
+                def Av(v):
+                    return ell.spmv(data, v, ell_arrays)
+
+                b = -F
+                bnorm2 = jnp.vdot(b, b)
+                stop2 = jnp.maximum(ksp_rtol * ksp_rtol * bnorm2,
+                                    ksp_atol * ksp_atol)
+                dx0, ok0 = jax.lax.cond(
+                    valid,
+                    lambda f: refine(f, Av, b, stop2),
+                    lambda f: (jnp.zeros_like(b), jnp.asarray(False)),
+                    fact)
+                need = jnp.logical_not(ok0)
+                fact = jax.lax.cond(
+                    need, lambda _: factor(data, ell_arrays["ell_cols"]),
+                    lambda _: fact, None)
+                # fresh factor's best dx is accepted regardless (the host
+                # _bt_direction lag contract)
+                dx = jax.lax.cond(
+                    need, lambda f: refine(f, Av, b, stop2)[0],
+                    lambda f: dx0, fact)
+                xn, ls_ok = _fused_linesearch(linesearch, residual, fsq,
+                                              x, dx, fn, damping)
+                sconv = jnp.linalg.norm(xn - x) < stol * jnp.maximum(
+                    jnp.linalg.norm(xn), 1e-300)
+                F = residual(xn)
+                return (it + 1, xn, F, jnp.linalg.norm(F), ls_ok, sconv,
+                        fact, jnp.asarray(True), nref + need)
+
+            it, x, F, fn, ls_ok, sconv, fact, valid, nref = \
+                jax.lax.while_loop(
+                    cond, body,
+                    (0, x, F, f0, jnp.array(True), jnp.array(False),
+                     fact, valid, jnp.asarray(0, jnp.int32)))
+            return x, it, fn, f0, ls_ok, sconv, fact, nref
+
+        jitted = jax.jit(solve, donate_argnums=(11,))
+
+        def fn(x0, coeffs=None, consts=None, rtol=1e-8, atol=1e-50,
+               stol=0.0, ksp_rtol=1e-10, ksp_atol=0.0, damping=1.0):
+            if fn._fact is None:
+                N = self.space.num_dofs
+                fn._fact = (
+                    jnp.zeros((nb, bs, bs), adt_j),
+                    jnp.zeros((nb - 1, bs, bs), adt_j),
+                    jnp.zeros((nb - 1, bs, bs), adt_j),
+                    jnp.ones((N,), form.dtype))
+                fn._valid = False
+            x, it, fnm, f0, ls_ok, sconv, fact, nref = jitted(
+                jnp.asarray(x0, form.dtype),
+                dict(coeffs if coeffs is not None else self.coeffs),
+                dict(consts if consts is not None else self.consts),
+                jnp.asarray(rtol), jnp.asarray(atol), jnp.asarray(stol),
+                jnp.asarray(ksp_rtol), jnp.asarray(ksp_atol),
+                jnp.asarray(damping), form.cell_data, ell.arrays,
+                fn._fact, jnp.asarray(fn._valid))
+            fn._fact = fact
+            fn._valid = True
+            fn.last_refactors = int(nref)
+            return x, it, fnm, f0, ls_ok, sconv
+
+        fn._fact = None
+        fn._valid = False
+        fn.last_refactors = 0
+
+        def reset():
+            fn._fact = None
+            fn._valid = False
+
+        fn.reset = reset
         self._direction_cache[key] = fn
         return fn
 

@@ -111,6 +111,32 @@ def test_streamed_full_lvpp_matches_lu():
     assert diff < 1e-7
 
 
+def test_lagged_f64_f32apply_matches_lu():
+    """pc_factor_lag=1 + f64 factor + f32 apply (the multiphase record
+    combination) reproduces the LU trajectory through the full LVPP
+    driver: the stale factor is reused across Newton iterations and
+    solves, refined against the CURRENT operator, and refactored only on
+    stall — so accepted directions still satisfy ksp_rtol for the true
+    Jacobian and counts match exact Newton."""
+    kw = dict(N=12, M=12, primal_degree=2, max_iterations=25,
+              stopping_tol=1e-8, verbose=False, quadrature_degree=6)
+    prob_lu = setup_gradient_constraint(**kw)
+    res_lu = prob_lu.solver.solve(prob_lu.x0)
+    prob_bt = setup_gradient_constraint(
+        solver_options={"ksp_type": "preonly", "pc_type": "btlu",
+                        "pc_factor_lag": 1, "pc_factor_dtype": "f64",
+                        "pc_factor_apply_dtype": "f32",
+                        "ksp_rtol": 1e-9},
+        **kw)
+    res_bt = prob_bt.solver.solve(prob_bt.x0)
+    assert res_bt.converged
+    assert res_bt.iterations == res_lu.iterations
+    assert list(res_bt.newton_steps) == list(res_lu.newton_steps)
+    diff = np.linalg.norm(np.asarray(res_bt.x - res_lu.x)) / \
+        np.linalg.norm(np.asarray(res_lu.x))
+    assert diff < 1e-7
+
+
 def test_non_lattice_points_raise():
     """Fully irregular point sets are rejected (no usable line structure:
     every coordinate level is distinct, so blocks blow past the memory

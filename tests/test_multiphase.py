@@ -46,16 +46,19 @@ def test_iteration_bookkeeping(solved):
 
 
 def test_fused_btlu_matches_default(solved):
-    """The one-dispatch-per-Newton-solve path (snes_fused +
+    """The one-dispatch-per-Newton-solve path (snes_fused + LAGGED
     block-tridiagonal direct direction traced into the Newton while_loop,
-    solve/nonlinear.py pc='btlu' branch) reproduces the host-loop
-    trajectory — the architecture that beats the axon tunnel's
-    ~310 ms/dispatch wall for the 50^2x700-step record (VERDICT r3 #4)."""
+    solve/nonlinear.py fused_newton_btlu) reproduces the host-loop
+    trajectory — the record architecture that beats the axon tunnel's
+    ~310 ms/dispatch wall AND the 4 s/refactor cost for the 50^2x700-step
+    record (VERDICT r3 #4): f64 factor recursion, f32-cast apply, factor
+    carried across Newton iterations and alpha-loop solves, refactoring
+    only when stale-factor refinement misses ksp tolerance."""
     r2 = solve_multiphase(
         N=10, M=10, tau0=1e-4, T=2e-4, stopping_tol=1e-5, verbose=False,
         solver_options={"snes_fused": True, "ksp_type": "preonly",
                         "pc_type": "btlu", "ksp_rtol": 1e-9,
-                        "pc_factor_dtype": "f64"})
+                        "pc_factor_dtype": "f64", "pc_factor_lag": 1})
     ref = np.asarray(solved.u)
     assert np.linalg.norm(np.asarray(r2.u) - ref) < 1e-8 * max(
         1.0, np.linalg.norm(ref))
