@@ -524,10 +524,12 @@ class VolumeForm:
 
     # ------------------------------------------------------- functionals
 
-    def make_functional(self, fn: Callable) -> Callable:
-        """Compile a scalar functional ∫ fn(x, u, gu, c, gc, consts) dx —
-        the observables of the reference (energy, complementarity,
-        feasibility, increments; obstacle_pg.py:145-152)."""
+    def make_functional_core(self, fn: Callable) -> Callable:
+        """The data-parameterized core of make_functional:
+        (x, coeffs, consts, data) -> scalar. Exposed separately so the
+        distributed layer (parallel/dofpart.py) can evaluate the same
+        integrand on device-local rewritten cell data inside shard_map
+        (x = the ghost-extended vector, data = data_loc)."""
 
         def functional_core(x, coeffs, consts, data):
             xx = jnp.asarray(x, self.dtype)
@@ -544,7 +546,13 @@ class VolumeForm:
             vq = jax.vmap(jax.vmap(pw))(data["xq"], vals, grads, cv, cg)
             return jnp.sum(vq * data["wdet"])
 
-        jitted = jax.jit(functional_core)
+        return functional_core
+
+    def make_functional(self, fn: Callable) -> Callable:
+        """Compile a scalar functional ∫ fn(x, u, gu, c, gc, consts) dx —
+        the observables of the reference (energy, complementarity,
+        feasibility, increments; obstacle_pg.py:145-152)."""
+        jitted = jax.jit(self.make_functional_core(fn))
 
         def functional(x, coeffs=None, consts=None):
             return jitted(x, coeffs or {}, consts or {}, self.cell_data)

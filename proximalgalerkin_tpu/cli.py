@@ -160,6 +160,10 @@ def main(argv=None):
     p.add_argument("--Tmin", type=float, default=0.0)
     p.add_argument("--Tmax", type=float, default=5.0)
     p.add_argument("--num-load-steps", type=int, default=1001)
+    p.add_argument("--n-devices", dest="n_devices", type=int, default=0,
+                   help="run the load continuation dof-partitioned over "
+                        "this many devices (the reference's mpirun "
+                        "execution of fracture_dolfinx.py)")
 
     p = _add_simple(sub, "multiphase", "Example 04 Cahn-Hilliard")
     p.add_argument("-N", type=int, default=50)
@@ -252,7 +256,8 @@ def main(argv=None):
         from .models.fracture import solve_fracture
         r = solve_fracture(max_res=args.res, Tmin=args.Tmin, Tmax=args.Tmax,
                            num_load_steps=args.num_load_steps,
-                           solver_options=cli_opts)
+                           solver_options=cli_opts,
+                           n_devices=args.n_devices or None)
         print(f"steps {len(r.load_history)} broken={r.broken}")
     elif args.cmd == "multiphase":
         from .models.multiphase import solve_multiphase

@@ -63,6 +63,7 @@ def solve_fracture(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 10,
     progress_jsonl: Optional[str] = None,
+    n_devices: Optional[int] = None,
 ) -> FractureResult:
     """...
 
@@ -72,6 +73,13 @@ def solve_fracture(
       off instead of restarting (VERDICT r2: the record harness lost ~7 h
       to this). progress_jsonl: one JSON line appended per load step, so
       partial runs still have their per-step iteration arrays on disk.
+
+    n_devices: run the whole continuation dof-partitioned over that many
+      devices (parallel/dofpart.py) — load-step BC updates, the
+      failure-retry machine, and the ||c_k - c_iter|| functional all on
+      shards, matching the reference's MPI-parallel execution of the same
+      loop (fracture_dolfinx.py:220-264 under mpirun). Newton directions
+      use the distributed MINRES with the configured pc_type.
     """
     tagged = tagged if tagged is not None else create_crack_mesh(max_res)
     mesh = tagged.mesh
@@ -140,14 +148,48 @@ def solve_fracture(
             "snes_rtol": 1e-8, "snes_max_it": 50,
             "ksp_type": "preonly", "pc_type": "lu"}
     opts.update(solver_options or {})
-    newton = NewtonSolver(problem, SolverOptions(opts))
 
     u_sl, c_sl, psi_sl = (space.slice_of(n) for n in ("u", "c", "psi"))
+    l2c_integrand = lambda x, u, gu, c, gc, k: (u["c"] - c["c_iter"]) ** 2
 
-    l2c_fn = form.make_functional(
-        lambda x, u, gu, c, gc, k: (u["c"] - c["c_iter"]) ** 2)
+    if n_devices is None:
+        newton = NewtonSolver(problem, SolverOptions(opts))
+        l2c_fn = form.make_functional(l2c_integrand)
+        to_shard = lambda v: jnp.asarray(v)
+        from_shard = np.asarray
+        set_bcs = None
 
-    x = jnp.asarray(space.zeros())
+        def update_state(x_prev, x_iter, a):
+            problem.update(
+                coeffs={"c_prev": x_prev[c_sl], "psi_iter": x_iter[psi_sl],
+                        "c_iter": x_iter[c_sl]},
+                consts={"alpha": jnp.asarray(a)})
+
+        l2c = lambda xx: l2c_fn(xx, dict(problem.coeffs), {})
+        max_c = lambda xx: float(jnp.max(xx[c_sl]))
+    else:
+        from ..parallel.dofpart import (DistributedLvppProblem,
+                                        DistributedProblem)
+        devs = jax.devices()[:n_devices]
+        dp = DistributedProblem(problem, devices=devs)
+        dlp = DistributedLvppProblem(dp)
+        newton = dlp.make_newton_solver(SolverOptions(opts))
+        l2c_dist = dp.make_functional(l2c_integrand)
+        to_shard = lambda v: dp.scatter(np.asarray(v))
+        from_shard = dp.gather
+        set_bcs = dp.update_bcs
+
+        def update_state(x_prev, x_iter, a):
+            dlp.update(
+                coeffs={"c_prev": dp.field_to_coeff(x_prev, "c"),
+                        "psi_iter": dp.field_to_coeff(x_iter, "psi"),
+                        "c_iter": dp.field_to_coeff(x_iter, "c")},
+                consts={"alpha": jnp.asarray(a)})
+
+        l2c = lambda xx: l2c_dist(xx, dict(dlp.coeffs), dict(dlp.consts))
+        max_c = lambda xx: float(jnp.max(dp.field_to_coeff(xx, "c")))
+
+    x = to_shard(space.zeros())
     x_prev = x        # previous load step
     alpha = 1.0
     result = FractureResult(u=np.zeros(V.num_dofs), c=np.zeros(V.num_dofs))
@@ -158,8 +200,8 @@ def solve_fracture(
         if Path(checkpoint_path).exists():
             from ..utils.checkpoint import LVPPCheckpoint
             ck = LVPPCheckpoint.load(checkpoint_path)
-            x = jnp.asarray(ck.x)
-            x_prev = jnp.asarray(ck.x_k)
+            x = to_shard(ck.x)
+            x_prev = to_shard(ck.x_k)
             alpha = float(ck.alpha_prev_raw)
             start_step = int(ck.step)
             result.newton_per_step = list(ck.newton_steps)
@@ -175,7 +217,7 @@ def solve_fracture(
     def _save_ck(step):
         from ..utils.checkpoint import LVPPCheckpoint
         LVPPCheckpoint(
-            x=np.asarray(x), x_k=np.asarray(x_prev), iteration=0,
+            x=from_shard(x), x_k=from_shard(x_prev), iteration=0,
             alpha_prev_raw=alpha, step=step,
             newton_steps=result.newton_per_step,
             observables={"load": result.load_history,
@@ -203,6 +245,8 @@ def solve_fracture(
         bc_idx, bc_vals = space.global_bc_arrays(make_bcs(float(T)))
         problem.bc_idx = jnp.asarray(bc_idx)
         problem.bc_vals = jnp.asarray(bc_vals)
+        if set_bcs is not None:
+            set_bcs(bc_idx, bc_vals)
 
         # the reference resets the proximal parameter at every load step
         # (fracture_dolfinx.py:215 `alpha.value = 1`); carrying it across
@@ -214,10 +258,7 @@ def solve_fracture(
         newton_count = 0
         lvpp_count = 0
         while nfail <= nfail_max:
-            problem.update(
-                coeffs={"c_prev": x_prev[c_sl], "psi_iter": x_iter[psi_sl],
-                        "c_iter": x_iter[c_sl]},
-                consts={"alpha": jnp.asarray(alpha)})
+            update_state(x_prev, x_iter, alpha)
             res = newton.solve(x)
             newton_count += res.iterations
             did_work = res.iterations > 0
@@ -231,8 +272,7 @@ def solve_fracture(
                 continue
             x = res.x
             lvpp_count += 1
-            coeffs = dict(problem.coeffs)
-            nrm = float(np.sqrt(max(float(l2c_fn(x, coeffs, {})), 0.0)))
+            nrm = float(np.sqrt(max(float(l2c(x)), 0.0)))
             if verbose:
                 rank_print(f"  k={k} newton={res.iterations} alpha={alpha} "
                            f"||c_k - c_(k-1)|| = {nrm:.3e}")
@@ -248,7 +288,7 @@ def solve_fracture(
         result.load_history.append(float(T))
         result.newton_per_step.append(newton_count)
         result.lvpp_per_step.append(lvpp_count)
-        result.max_damage_history.append(float(jnp.max(x[c_sl])))
+        result.max_damage_history.append(max_c(x))
         _emit(step, T, newton_count, lvpp_count)
 
         # broken-specimen detection (:289-294)
@@ -262,6 +302,7 @@ def solve_fracture(
         if checkpoint_path is not None and (step + 1) % checkpoint_every == 0:
             _save_ck(step + 1)
 
-    result.u = np.asarray(x[u_sl])
-    result.c = np.asarray(x[c_sl])
+    x_host = from_shard(x)
+    result.u = np.asarray(x_host[u_sl])
+    result.c = np.asarray(x_host[c_sl])
     return result

@@ -330,10 +330,28 @@ class DistributedProblem:
             })
 
         # ---- BC masks (dense per-device) incl. identity rows for pad dofs
+        self.update_bcs(np.asarray(problem.bc_idx),
+                        np.asarray(problem.bc_vals))
+
+        self.consts = dict(problem.consts)
+        self._coeff_cache: Dict[str, jnp.ndarray] = {}
+        self._jits: Dict = {}
+
+        # scatter/gather maps for host IO (old global mixed <-> sharded)
+        self._dest = self._build_dest()
+
+    def update_bcs(self, bc_idx, bc_vals):
+        """(Re)build the sharded BC mask/value arrays from old-numbered
+        global bc dof indices — load-continuation models (fracture's
+        u = +/-T on the top edges, fracture_dolfinx.py:140-159) change
+        Dirichlet VALUES and the driver calls this once per load step.
+        Pad scalar dofs keep identity rows with value 0."""
+        space = self.space
+        nd = self.nd
         bc_mask = np.zeros((nd, self.Bsum), dtype=bool)
         bc_val = np.zeros((nd, self.Bsum))
-        bci = np.asarray(problem.bc_idx).astype(np.int64)
-        bcv = np.asarray(problem.bc_vals)
+        bci = np.asarray(bc_idx).astype(np.int64)
+        bcv = np.asarray(bc_vals)
         for f in space.names:
             p = self.parts[f]
             o = space.offsets[f]
@@ -355,15 +373,9 @@ class DistributedProblem:
                         + ((pad_ns - pdev * p.Bs) * p.m)[:, None]
                         + np.arange(p.m)[None, :])
                 bc_mask[pdev[:, None], ppos] = True
-        self.bc_mask = put(bc_mask)
-        self.bc_val = put(bc_val)
-
-        self.consts = dict(problem.consts)
-        self._coeff_cache: Dict[str, jnp.ndarray] = {}
-        self._jits: Dict = {}
-
-        # scatter/gather maps for host IO (old global mixed <-> sharded)
-        self._dest = self._build_dest()
+        sh = NamedSharding(self.dmesh, P(self.axis))
+        self.bc_mask = jax.device_put(jnp.asarray(bc_mask), sh)
+        self.bc_val = jax.device_put(jnp.asarray(bc_val), sh)
 
     # ------------------------------------------------------------- host IO
 
@@ -498,6 +510,40 @@ class DistributedProblem:
             else:
                 cv[name] = arr
         return cv
+
+    def _restrict_owned(self, z_ext):
+        """Owned (s=0) segments of an extended vector: (ext_total,) ->
+        (Bsum,) WITHOUT ghost folding — the 'restricted' prolongation of
+        restricted additive Schwarz."""
+        outs = []
+        for f in self.space.names:
+            p = self.parts[f]
+            outs.append(jax.lax.dynamic_slice(
+                z_ext, (self.ext_off[f] + p.k * p.B,), (p.B,)))
+        return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+
+    def _local_dense_ext(self, x_ext, cv, consts, data, bcm_ext):
+        """Per-device dense subdomain matrix over the EXTENDED dof set,
+        assembled from the device's own cells — the local operator A_i of
+        (restricted) additive Schwarz. Untouched ext dofs (and pad cells,
+        whose wdet is zero) get identity rows; bc dofs get symmetric
+        identity treatment, matching _local_jac_action. Dense is the
+        point: the subdomain factor/solve is one LAPACK/XLA call per
+        device, the TPU-native analogue of PETSc asm+lu subdomain MUMPS."""
+        form = self.form
+        Ae = form._element_matrices_core(x_ext, cv, consts, data)
+        li = jnp.concatenate(
+            [data["gather_idx"][f].reshape(Ae.shape[0], -1)
+             for f in form.space.names], axis=1)
+        n = self.ext_total
+        A = jnp.zeros((n, n), Ae.dtype).at[
+            li[:, :, None], li[:, None, :]].add(Ae)
+        touched = jnp.zeros((n,), Ae.dtype).at[li.reshape(-1)].add(1.0)
+        keep = jnp.logical_and(touched > 0.0, bcm_ext <= 0.5)
+        kf = keep.astype(Ae.dtype)
+        A = A * kf[:, None] * kf[None, :] \
+            + jnp.diag(1.0 - kf)
+        return A
 
     def _psum(self, v):
         return jax.lax.psum(v, self.axis)
@@ -636,6 +682,81 @@ class DistributedProblem:
 
         return jax.lax.while_loop(cond, body, state)[1]
 
+    def _gmres(self, Av, b, Minv, rtol, atol, maxiter, restart=30):
+        """Right-preconditioned restarted GMRES(m) with psum inner
+        products — the distributed Krylov for NONSYMMETRIC
+        preconditioners (the restricted-additive-Schwarz subdomain-LU PC,
+        PETSc's gmres+asm recipe). Modified-Gram-Schmidt Arnoldi with
+        incremental Givens rotations; breakdown columns are padded so the
+        triangular solve stays well-posed under jit."""
+        m = restart
+        eps = 1e-300
+        pdot = self._pdot
+        bnorm = jnp.sqrt(jnp.maximum(pdot(b, b), 0.0))
+        target = jnp.maximum(rtol * bnorm, atol)
+        B = b.shape[0]
+
+        def cycle(x0):
+            r = b - Av(x0)
+            beta = jnp.sqrt(jnp.maximum(pdot(r, r), 0.0))
+            V0 = jnp.zeros((m + 1, B), b.dtype).at[0].set(
+                r / jnp.maximum(beta, eps))
+            R0 = jnp.zeros((m, m), b.dtype)
+            g0 = jnp.zeros((m + 1,), b.dtype).at[0].set(beta)
+            cs0 = jnp.zeros((m,), b.dtype)
+            sn0 = jnp.zeros((m,), b.dtype)
+
+            def astep(j, s):
+                V, R, g, cs, sn = s
+                w = Av(self._apply_pc(Minv, V[j]))
+                # MGS against all m+1 basis vectors; rows > j of V are
+                # zero so the extra projections are no-ops
+                h = jax.vmap(lambda vk: pdot(vk, w))(V)
+                w = w - jnp.einsum("k,kb->b", h, V)
+                hj1 = jnp.sqrt(jnp.maximum(pdot(w, w), 0.0))
+                V = V.at[j + 1].set(w / jnp.maximum(hj1, eps))
+                # apply previous Givens rotations to column h[0..j]
+                def rot(k, hcol):
+                    t = cs[k] * hcol[k] + sn[k] * hcol[k + 1]
+                    hk1 = -sn[k] * hcol[k] + cs[k] * hcol[k + 1]
+                    return hcol.at[k].set(t).at[k + 1].set(hk1)
+                hcol = h.at[j + 1].set(hj1)
+                hcol = jax.lax.fori_loop(0, j, rot, hcol)
+                d = jnp.sqrt(hcol[j] ** 2 + hj1 ** 2)
+                c_j = jnp.where(d > eps, hcol[j] / jnp.maximum(d, eps), 1.0)
+                s_j = jnp.where(d > eps, hj1 / jnp.maximum(d, eps), 0.0)
+                cs, sn = cs.at[j].set(c_j), sn.at[j].set(s_j)
+                Rjj = c_j * hcol[j] + s_j * hj1
+                # diagonal guard: breakdown/converged columns get 1.0 so
+                # the back-substitution stays finite (their g is ~0)
+                Rcol = hcol.at[j].set(jnp.where(jnp.abs(Rjj) > eps,
+                                                Rjj, 1.0))[:m]
+                R = R.at[:, j].set(Rcol)
+                gj = g[j]
+                g = g.at[j].set(c_j * gj).at[j + 1].set(-s_j * gj)
+                return V, R, g, cs, sn
+
+            V, R, g, _, _ = jax.lax.fori_loop(
+                0, m, astep, (V0, R0, g0, cs0, sn0))
+            y = jax.scipy.linalg.solve_triangular(R, g[:m], lower=False)
+            z = jnp.einsum("k,kb->b", y, V[:m])
+            return x0 + self._apply_pc(Minv, z), jnp.abs(g[m])
+
+        def cond(s):
+            it, x, rn, done = s
+            return jnp.logical_and(it * m < maxiter,
+                                   jnp.logical_not(done))
+
+        def body(s):
+            it, x, _, _ = s
+            x, rn = cycle(x)
+            done = jnp.logical_or(rn <= target, ~jnp.isfinite(rn))
+            return it + 1, x, rn, done
+
+        big = jnp.asarray(jnp.inf, b.dtype)
+        return jax.lax.while_loop(
+            cond, body, (0, jnp.zeros_like(b), big, jnp.array(False)))[1]
+
     # ------------------------------------------------------- public jitted
 
     @staticmethod
@@ -694,6 +815,37 @@ class DistributedProblem:
 
     def norm(self, v_shard) -> float:
         return float(jnp.linalg.norm(v_shard))
+
+    def make_functional(self, fn):
+        """Distributed twin of VolumeForm.make_functional: evaluates the
+        same pointwise integrand on device-local rewritten cell data
+        (ghost-extended solution, psum across devices; pad cells
+        contribute 0 through their zeroed wdet). Returns
+        functional(x_shard, coeffs, consts) -> scalar. Coefficient values
+        must be sharded (scatter_coeff / field_to_coeff / scatter_cellq),
+        exactly as for residual()."""
+        core = self.form.make_functional_core(fn)
+        key = ("functional", id(fn))
+        if key not in self._jits:
+            def kern(x, coeffs_loc, consts, data):
+                dl = self._squeeze0(data)
+                cl = {k: (v if v.ndim == 1 else v[0])
+                      for k, v in coeffs_loc.items()}
+                x_ext = self._forward_ext(x)
+                cv = self._prep_coeffs(cl)
+                return self._psum(core(x_ext, cv, consts, dl))
+
+            self._jits[key] = jax.jit(shard_map(
+                kern, mesh=self.dmesh,
+                in_specs=(P(self.axis), P(self.axis), P(), P(self.axis)),
+                out_specs=P(), check_rep=False))
+        jitted = self._jits[key]
+
+        def functional(x_shard, coeffs=None, consts=None):
+            return jitted(x_shard, dict(coeffs or {}),
+                          dict(consts or self.consts), self.data_loc)
+
+        return functional
 
     # ------------------------------------------------- fused Newton solve
 
@@ -967,19 +1119,44 @@ class DistributedProblem:
                         return self._local_jac_action(x, v, cl, fcl,
                                                       consts, dl, fdl, bcm)
 
-                    d = self._local_diagonal(x, cl, fcl, consts, dl, fdl,
-                                             bcm)
-                    if pc == "schur":
+                    if pc == "asm_lu":
+                        # restricted additive Schwarz with a DENSE
+                        # per-device subdomain factor (PETSc gmres+asm+lu
+                        # analogue, the strong distributed PC): assemble
+                        # the local extended matrix from this device's
+                        # cells, LU once per Newton iteration, apply as
+                        # gather -> subdomain solve -> owned restriction
+                        x_ext = self._forward_ext(x)
+                        cv = self._prep_coeffs(cl)
+                        bcm_ext = self._forward_ext(bcm_f[0])
+                        A_loc = self._local_dense_ext(x_ext, cv, consts,
+                                                      dl, bcm_ext)
+                        lu, piv = jax.scipy.linalg.lu_factor(A_loc)
+
+                        def Minv(r):
+                            z = jax.scipy.linalg.lu_solve(
+                                (lu, piv), self._forward_ext(r))
+                            return self._restrict_owned(z)
+                    elif pc == "schur":
+                        d = self._local_diagonal(x, cl, fcl, consts, dl,
+                                                 fdl, bcm)
                         Minv = self._schur_pc_matfree(
                             Av, d, m0, bc1, cheb_steps=cheb_steps,
                             power_iters=power_iters,
                             lmin_ratio=lmin_ratio)
                     else:
+                        d = self._local_diagonal(x, cl, fcl, consts, dl,
+                                                 fdl, bcm)
                         dinv = jnp.where(jnp.abs(d) > 1e-300, 1.0 / d, 1.0)
                         Minv = jnp.abs(dinv) if ksp == "minres" else dinv
-                    solver = self._minres if ksp == "minres" else self._cg
-                    dx = solver(Av, -F, Minv, ksp_rtol_, ksp_atol_,
-                                ksp_max_it)
+                    if ksp == "gmres":
+                        dx = self._gmres(Av, -F, Minv, ksp_rtol_,
+                                         ksp_atol_, ksp_max_it)
+                    else:
+                        solver = self._minres if ksp == "minres" \
+                            else self._cg
+                        dx = solver(Av, -F, Minv, ksp_rtol_, ksp_atol_,
+                                    ksp_max_it)
                     x, ls_ok = do_linesearch(x, dx, fn)
                     F = res(x)
                     return it + 1, x, F, pnorm(F), ls_ok
@@ -1083,11 +1260,17 @@ class DistributedNewtonSolver:
         opts = self.options
         prob = self.problem
         ksp = str(opts.opt("ksp_type"))
-        if ksp in ("preonly",):
-            ksp = "minres"    # no distributed direct solve; MINRES stands in
         pc = str(opts.opt("pc_type", "jacobi"))
-        if pc not in ("jacobi", "schur"):
-            pc = "jacobi"     # 'lu' (the host default) has no shard twin
+        if pc == "lu":
+            # the host direct default maps to the strong distributed PC:
+            # restricted additive Schwarz with per-device dense LU
+            pc = "asm_lu"
+        if pc not in ("jacobi", "schur", "asm_lu"):
+            pc = "jacobi"
+        if pc == "asm_lu":
+            ksp = "gmres"     # RAS is nonsymmetric: right-PC GMRES
+        elif ksp in ("preonly", "gmres"):
+            ksp = "minres"    # no distributed direct solve; MINRES stands in
         fused = prob.dp.fused_lvpp_newton(
             ksp=ksp, pc=pc,
             linesearch=str(opts.opt("snes_linesearch_type")),
