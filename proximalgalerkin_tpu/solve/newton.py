@@ -432,33 +432,69 @@ class NewtonSolver:
                                         "pc_factor_streamed",
                                         "pc_factor_dtype",
                                         "pc_factor_apply_dtype") if k in opts}
+        max_it = int(opts.opt("snes_max_it"))
+        # snes_fused_chunk bounds ONE device execution to `chunk` Newton
+        # iterations (the axon runtime kernel-faults on executions longer
+        # than ~250 s — the ksp_chunk_it lesson applied at the Newton
+        # level); the host warm-restarts chunks from the returned iterate,
+        # and the lagged-btlu factor state persists across chunks on fn.
+        chunk = int(opts.opt("snes_fused_chunk", 0) or 0)
+        it_per_call = chunk if 0 < chunk < max_it else max_it
         if opts.opt("pc_type") == "btlu" and opts.opt("pc_factor_lag", 0):
             fused = prob.fused_newton_btlu(
                 linesearch=opts.opt("snes_linesearch_type"),
-                max_it=int(opts.opt("snes_max_it")),
+                max_it=it_per_call,
                 pc_opts=pc_opts)
         else:
             fused = prob.fused_newton(
                 opts.opt("ksp_type"), opts.opt("pc_type"),
                 str(opts.opt("mat_type", "ell")),
                 linesearch=opts.opt("snes_linesearch_type"),
-                max_it=int(opts.opt("snes_max_it")),
+                max_it=it_per_call,
                 ksp_max_it=int(opts.opt("ksp_max_it")),
                 schur_field0=opts.opt("pc_schur_field0", None),
                 pc_opts=pc_opts)
+        kw = dict(stol=float(opts.opt("snes_stol")),
+                  ksp_rtol=float(opts.opt("ksp_rtol")),
+                  ksp_atol=float(opts.opt("ksp_atol")),
+                  damping=float(opts.opt("snes_linesearch_damping")))
+        rtol_o = float(opts.opt("snes_rtol"))
+        atol_o = float(opts.opt("snes_atol"))
+        import os as _os
+        import time as _time
+        debug = bool(_os.environ.get("PGTPU_FUSED_DEBUG"))
+        t_dbg = _time.time()
+        nref0 = getattr(fused, "last_refactors", None)
         with self.timer.phase("newton_fused"):
             x, it, fn, f0, ls_ok, sconv = fused(
-                x0, prob.coeffs, prob.consts,
-                rtol=float(opts.opt("snes_rtol")),
-                atol=float(opts.opt("snes_atol")),
-                stol=float(opts.opt("snes_stol")),
-                ksp_rtol=float(opts.opt("ksp_rtol")),
-                ksp_atol=float(opts.opt("ksp_atol")),
-                damping=float(opts.opt("snes_linesearch_damping")))
+                x0, prob.coeffs, prob.consts, rtol=rtol_o, atol=atol_o,
+                **kw)
+            it = int(it)
+            fn = float(fn)
+            f0 = float(f0)
+            nref_tot = getattr(fused, "last_refactors", 0)
+            if it_per_call < max_it:
+                # continuation chunks test against the FIRST chunk's f0
+                # (rtol semantics must span the whole solve)
+                atol_eff = max(atol_o, rtol_o * f0)
+                while (it_per_call <= it < max_it and bool(ls_ok)
+                       and not bool(sconv) and np.isfinite(fn)
+                       and fn > atol_eff):
+                    budget = min(it_per_call, max_it - it)
+                    x, itc, fn, _, ls_ok, sconv = fused(
+                        x, prob.coeffs, prob.consts, rtol=0.0,
+                        atol=atol_eff, **kw)
+                    itc = int(itc)
+                    fn = float(fn)
+                    it += itc
+                    nref_tot += getattr(fused, "last_refactors", 0)
+                    if itc < budget:
+                        break
             x.block_until_ready()
-        it = int(it)
-        fn = float(fn)
-        f0 = float(f0)
+        if debug:
+            rank_print(f"    [fused] it={it} refactors="
+                       f"{nref_tot if nref0 is not None else 'n/a'} "
+                       f"wall={_time.time() - t_dbg:.2f}s")
         if not bool(ls_ok):
             reason = ConvergedReason.DIVERGED_LINE_SEARCH
         elif not np.isfinite(fn):

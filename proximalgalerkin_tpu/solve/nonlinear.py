@@ -81,31 +81,99 @@ def _fused_linesearch(linesearch, residual, fsq, x, dx, fnorm, damping):
         xn = x + lam_t * dx
         return xn, jnp.isfinite(fsq(xn))
     if linesearch == "bt":
+        # Faithful jittable twin of NewtonSolver._linesearch's 'bt'
+        # (PETSc linesearchbt.c): Armijo test at the full (damped) step,
+        # one quadratic backtrack, then cubic-interpolated backtracks with
+        # lambda clamped to [0.1, 0.5]*lambda — NOT plain halving. The
+        # host/fused trajectories must agree step-for-step for fused
+        # records to reproduce host Newton counts (multiphase 50^2).
         alpha = 1e-4
+        max_its = 40
         g0 = 0.5 * fnorm * fnorm
+        F0 = residual(x)
         Jdx = jax.jvp(residual, (x,), (dx,))[1]
-        islope = jnp.vdot(Jdx, residual(x))
+        islope = jnp.vdot(Jdx, F0)
         islope = jnp.where(
             jnp.logical_and(jnp.isfinite(islope), islope < 0.0),
-            islope, -2.0 * g0)
+            islope, -fnorm * fnorm)
+        lam0 = damping
+        g_full = 0.5 * fsq(x + lam0 * dx)
+        ok_full = jnp.logical_and(jnp.isfinite(g_full),
+                                  g_full <= g0 + alpha * lam0 * islope)
+        # quadratic first backtrack (host lines: denom/lam_t/clamp)
+        denom = 2.0 * (g_full - g0 - lam0 * islope)
+        lam_q = jnp.where(denom != 0.0,
+                          -islope * lam0 * lam0 / denom, 0.5 * lam0)
+        lam1 = jnp.minimum(jnp.maximum(lam_q, 0.1 * lam0), 0.5 * lam0)
+        minlambda = damping * 1e-12
 
         def cond(s):
-            i, lam, ok = s
-            return jnp.logical_and(i < 30, jnp.logical_not(ok))
+            i, lam, lam_prev, g_prev, ok, fail = s
+            live = jnp.logical_not(jnp.logical_or(ok, fail))
+            return jnp.logical_and(i < max_its, live)
 
         def body(s):
-            i, lam, ok = s
-            g = 0.5 * fsq(x + lam * dx)
-            ok = jnp.logical_and(
-                jnp.isfinite(g),
-                g <= g0 + alpha * lam * islope)
-            lam = jnp.where(ok, lam, 0.5 * lam)
-            return i + 1, lam, ok
+            i, lam, lam_prev, g_prev, _, _ = s
+            fail = lam < minlambda
+            g_lam = 0.5 * fsq(x + lam * dx)
+            ok = jnp.logical_and(jnp.isfinite(g_lam),
+                                 g_lam <= g0 + alpha * lam * islope)
+            # cubic interpolation through (lam, g_lam), (lam_prev, g_prev)
+            t1 = g_lam - g0 - lam * islope
+            t2 = g_prev - g0 - lam_prev * islope
+            dl = lam - lam_prev
+            safe_dl = jnp.where(dl == 0.0, 1.0, dl)
+            a = (t1 / (lam * lam) - t2 / (lam_prev * lam_prev)) / safe_dl
+            bq = (-lam_prev * t1 / (lam * lam)
+                  + lam * t2 / (lam_prev * lam_prev)) / safe_dl
+            disc = bq * bq - 3.0 * a * islope
+            lam_cub = jnp.where(
+                a == 0.0,
+                jnp.where(bq != 0.0, -islope / (2.0 * bq), 0.5 * lam),
+                jnp.where(disc < 0.0, 0.5 * lam,
+                          jnp.where(bq <= 0.0,
+                                    (-bq + jnp.sqrt(jnp.abs(disc)))
+                                    / (3.0 * jnp.where(a == 0.0, 1.0, a)),
+                                    -islope / (bq + jnp.sqrt(
+                                        jnp.abs(disc))))))
+            lam_t = jnp.where(dl == 0.0, 0.5 * lam, lam_cub)
+            lam_n = jnp.minimum(jnp.maximum(lam_t, 0.1 * lam), 0.5 * lam)
+            keep = jnp.logical_or(ok, fail)
+            return (i + 1,
+                    jnp.where(keep, lam, lam_n),
+                    jnp.where(keep, lam_prev, lam),
+                    jnp.where(keep, g_prev, g_lam),
+                    ok, fail)
 
-        _, lam, ok = jax.lax.while_loop(
-            cond, body, (0, damping, jnp.array(False)))
+        _, lam, _, _, ok, _ = jax.lax.while_loop(
+            cond, body,
+            (0, lam1, lam0, g_full, ok_full, jnp.array(False)))
+        lam = jnp.where(ok_full, lam0, lam)
         return x + lam * dx, ok
     raise ValueError(f"unknown fused linesearch {linesearch!r}")
+
+
+class EllSplit:
+    """Affine/nonlinear Jacobian split for the fused device Newton — the
+    device twin of csr_data_override (see jacobian_scipy below): models
+    whose residual is affine except for a small nonlinear block (e.g.
+    multiphase's softmax, multiphase_dolfinx.py:83-90) provide
+
+      nl_core(x, coeffs, consts, extra) -> (N, K) ELL delta   [jittable]
+      lin_data(coeffs, consts)          -> (N, K) f64 array   [host-cached]
+      extra: pytree of device index arrays threaded as RUNTIME args into
+             the jitted solve (closure-capturing multi-MB constants embeds
+             them in the XLA graph — the EllMatrix.arrays lesson).
+
+    fused_newton_btlu then assembles J(x) = lin + nl(x) per iteration
+    instead of re-differentiating all fields through jvp — at multiphase
+    50^2 this replaces a 3.4 s emulated-f64 element_matrices + 1.3 s
+    scatter per Newton iteration with a ~30 ms closed-form block."""
+
+    def __init__(self, nl_core, lin_data, extra):
+        self.nl_core = nl_core
+        self.lin_data = lin_data
+        self.extra = dict(extra)
 
 
 class NonlinearProblem:
@@ -698,7 +766,8 @@ class NonlinearProblem:
         fn.last_refactors reports the refactor count of the last call).
         """
         pc_opts = dict(pc_opts or {})
-        key = ("fused_btlu", linesearch, max_it,
+        split = getattr(self, "ell_split", None)
+        key = ("fused_btlu", linesearch, max_it, split is not None,
                tuple(sorted(pc_opts.items())))
         if key in self._direction_cache:
             return self._direction_cache[key]
@@ -753,7 +822,8 @@ class NonlinearProblem:
             return dx, jnp.vdot(r, r) <= stop2
 
         def solve(x0, coeffs, consts, rtol, atol, stol, ksp_rtol,
-                  ksp_atol, damping, cell_data, ell_arrays, fact, valid):
+                  ksp_atol, damping, cell_data, ell_arrays, fact, valid,
+                  lin_data, split_extra):
             def residual(z):
                 F = form._residual_core(z, coeffs, consts, cell_data)
                 return F.at[bc_idx].set(z[bc_idx] - bc_vals)
@@ -776,9 +846,13 @@ class NonlinearProblem:
 
             def body(s):
                 it, x, F, fn, _, _, fact, valid, nref = s
-                Ae = form._element_matrices_core(x, coeffs, consts,
-                                                 cell_data)
-                data = ell.assemble(Ae, ell_arrays)
+                if split is None:
+                    Ae = form._element_matrices_core(x, coeffs, consts,
+                                                     cell_data)
+                    data = ell.assemble(Ae, ell_arrays)
+                else:
+                    data = lin_data + split.nl_core(x, coeffs, consts,
+                                                    split_extra)
 
                 def Av(v):
                     return ell.spmv(data, v, ell_arrays)
@@ -828,14 +902,20 @@ class NonlinearProblem:
                     jnp.zeros((nb - 1, bs, bs), adt_j),
                     jnp.ones((N,), form.dtype))
                 fn._valid = False
+            cc = dict(coeffs if coeffs is not None else self.coeffs)
+            kk = dict(consts if consts is not None else self.consts)
+            if split is None:
+                lin_data = jnp.zeros(())
+                split_extra = {}
+            else:
+                lin_data = split.lin_data(cc, kk)
+                split_extra = split.extra
             x, it, fnm, f0, ls_ok, sconv, fact, nref = jitted(
-                jnp.asarray(x0, form.dtype),
-                dict(coeffs if coeffs is not None else self.coeffs),
-                dict(consts if consts is not None else self.consts),
+                jnp.asarray(x0, form.dtype), cc, kk,
                 jnp.asarray(rtol), jnp.asarray(atol), jnp.asarray(stol),
                 jnp.asarray(ksp_rtol), jnp.asarray(ksp_atol),
                 jnp.asarray(damping), form.cell_data, ell.arrays,
-                fn._fact, jnp.asarray(fn._valid))
+                fn._fact, jnp.asarray(fn._valid), lin_data, split_extra)
             fn._fact = fact
             fn._valid = True
             fn.last_refactors = int(nref)

@@ -66,6 +66,46 @@ def test_fused_btlu_matches_default(solved):
     assert np.allclose(m, 1.0, atol=1e-10)
 
 
+def test_ell_split_matches_full_assembly():
+    """The device EllSplit (closed-form softmax Jacobian
+    d(-softmax)_m/dpsi_n = s_m s_n - delta_mn s_m scattered into the
+    affine ELL data, models/multiphase.py _install_ell_split) must equal
+    the full-jacfwd ELL assembly to roundoff — same quadrature, exact
+    derivative, different factorization of the sum."""
+    from proximalgalerkin_tpu.models import multiphase as mpmod
+    from proximalgalerkin_tpu.solve import nonlinear as nlmod
+
+    probs = []
+    orig = nlmod.NonlinearProblem
+
+    class Rec(orig):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            probs.append(self)
+
+    mpmod.NonlinearProblem = Rec
+    try:
+        solve_multiphase(
+            N=10, M=10, tau0=1e-4, T=1e-4, verbose=False,
+            solver_options={"snes_fused": True, "ksp_type": "preonly",
+                            "pc_type": "btlu", "ksp_rtol": 1e-9,
+                            "pc_factor_dtype": "f64", "pc_factor_lag": 1})
+    finally:
+        mpmod.NonlinearProblem = orig
+    p = probs[0]
+    split = p.ell_split
+    rng = np.random.default_rng(7)
+    import jax.numpy as jnp
+    x = jnp.asarray(rng.standard_normal(p.space.num_dofs) * 0.4)
+    cc, kk = dict(p.coeffs), dict(p.consts)
+    data_split = split.lin_data(cc, kk) + split.nl_core(x, cc, kk,
+                                                        split.extra)
+    Ae = p.form.element_matrices(x, cc, kk)
+    data_full = p.ell_matrix.assemble(Ae)
+    scale = max(1.0, float(jnp.abs(data_full).max()))
+    assert float(jnp.abs(data_split - data_full).max()) < 1e-13 * scale
+
+
 def test_split_jacobian_matches_direct_jacfwd():
     """The csr_data_override (cached affine CSR data + softmax-only
     rediff on the psi subspace) must reproduce the full-jacfwd Jacobian
