@@ -139,6 +139,11 @@ def main(argv=None):
     p = _add_simple(sub, "obstacle-spectral", "Example 01 spectral variant")
     p.add_argument("--degrees", type=int, nargs="+",
                    default=[8, 16, 24, 32, 40, 48])
+    p.add_argument("--solve-dtype", dest="solve_dtype", default="f64",
+                   choices=("f64", "f32_refine"),
+                   help="dense Newton factor precision: f32_refine runs "
+                        "the LU on the MXU with f64 refinement (device "
+                        "p-sweep path)")
 
     p = _add_simple(sub, "compare-all", "Example 01 five-solver comparison")
     p.add_argument("--disk-res", type=float, default=0.1)
@@ -235,7 +240,8 @@ def main(argv=None):
         print(f"outer {r.outer_iterations} newton {r.newton_its}")
     elif args.cmd == "obstacle-spectral":
         from .models.obstacle_spectral import spectral_p_sweep
-        r = spectral_p_sweep(ps=tuple(args.degrees), verbose=True)
+        r = spectral_p_sweep(ps=tuple(args.degrees), verbose=True,
+                             solve_dtype=args.solve_dtype)
         print("degrees:", r.degrees)
         print("newton:", r.newton_its)
         print("sup diffs:", r.sup_errors)

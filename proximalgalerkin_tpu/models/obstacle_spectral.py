@@ -98,9 +98,18 @@ class SpectralObstacleResult:
 def spectral_obstacle_solve(p: int, obstacle=spherical_cap_obstacle,
                             alpha_cap: float = 1e2, outer_tol: float = 1e-9,
                             newton_tol: float = 1e-4, newton_max: int = 50,
-                            verbose: bool = False):
+                            verbose: bool = False,
+                            solve_dtype: str = "f64"):
     """One LVPP solve at Zernike degree p. Returns (modes data, newton
-    count, u coefficient vector, evaluator)."""
+    count, u coefficient vector, evaluator).
+
+    solve_dtype: 'f64' factors the dense Newton matrix in float64 (host
+    and CPU-record parity); 'f32_refine' factors in float32 on the MXU
+    and recovers f64 direction accuracy with three refinement passes
+    against the f64 operator — the device path for the p-sweep
+    (obstacle_spectral.jl:88-144), where emulated-f64 LU dominates
+    (VERDICT r3 #7). Directions agree to ~1e-12 so Newton counts match
+    the f64 trajectory."""
     r, th, wq = _disk_quadrature(p)
     Vu, Gxu, Gyu = _basis_tables(p, r, th, weighted=True)
     Vp, _, _ = _basis_tables(p, r, th, weighted=False)
@@ -122,6 +131,9 @@ def spectral_obstacle_solve(p: int, obstacle=spherical_cap_obstacle,
     wq_j = jnp.asarray(wq)
     phi_j = jnp.asarray(phi)
     nu, npsi = Vu.shape[1], Vp.shape[1]
+    # <Z_psi, Z_u> block of the closed-form Jacobian (== Mup^T only up to
+    # quadrature roundoff; keep the exact transpose relation)
+    Mpu_j = Mup_j.T
 
     @jax.jit
     def newton_solve(cu, cp, cp_k, alpha):
@@ -133,12 +145,36 @@ def spectral_obstacle_solve(p: int, obstacle=spherical_cap_obstacle,
             Fp = Vp_j.T @ (wq_j * gap)
             return jnp.concatenate([Fu, Fp])
 
+        def jac(cp):
+            """Closed-form block Jacobian — one weighted MXU matmul for
+            the only state-dependent block, replacing the (nu+npsi)-pass
+            jacfwd that dominated the CPU p=48 record:
+              [alpha A, Mup; Vp^T diag(wq) Vu, -Vp^T diag(wq e^psi) Vp]."""
+            e = jnp.exp(Vp_j @ cp)
+            Jpp = -(Vp_j * (wq_j * e)[:, None]).T @ Vp_j
+            return jnp.block([[alpha * A_j, Mup_j], [Mpu_j, Jpp]])
+
+        def solve_dense(J, b):
+            if solve_dtype == "f32_refine":
+                lu, piv = jax.scipy.linalg.lu_factor(
+                    J.astype(jnp.float32))
+                dz = jax.scipy.linalg.lu_solve(
+                    (lu, piv), b.astype(jnp.float32)).astype(b.dtype)
+
+                def refine(dz, _):
+                    rr = b - J @ dz
+                    e = jax.scipy.linalg.lu_solve(
+                        (lu, piv), rr.astype(jnp.float32))
+                    return dz + e.astype(b.dtype), None
+
+                dz, _ = jax.lax.scan(refine, dz, None, length=3)
+                return dz
+            return jnp.linalg.solve(J, b)
+
         def step(carry):
             it, cu, cp, nrm = carry
             F = resid(cu, cp)
-            J = jax.jacfwd(lambda z: resid(z[:nu], z[nu:]))(
-                jnp.concatenate([cu, cp]))
-            dz = jnp.linalg.solve(J, -F)
+            dz = solve_dense(jac(cp), -F)
             cu2, cp2 = cu + dz[:nu], cp + dz[nu:]
             F2 = resid(cu2, cp2)
             return it + 1, cu2, cp2, jnp.linalg.norm(F2)
@@ -180,8 +216,8 @@ def spectral_obstacle_solve(p: int, obstacle=spherical_cap_obstacle,
     return np.asarray(cu), total, u_eval
 
 
-def spectral_p_sweep(ps=(8, 16, 24, 32, 40, 48), verbose=False
-                     ) -> SpectralObstacleResult:
+def spectral_p_sweep(ps=(8, 16, 24, 32, 40, 48), verbose=False,
+                     solve_dtype: str = "f64") -> SpectralObstacleResult:
     """Degree sweep (obstacle_spectral.jl:88-144): records Newton totals
     and successive sup-differences on a sample grid."""
     rs = np.linspace(0.0, 0.97, 40)
@@ -190,7 +226,8 @@ def spectral_p_sweep(ps=(8, 16, 24, 32, 40, 48), verbose=False
     prev = None
     res = SpectralObstacleResult([], [], [], None)
     for p in ps:
-        cu, its, ev = spectral_obstacle_solve(p, verbose=verbose)
+        cu, its, ev = spectral_obstacle_solve(p, verbose=verbose,
+                                              solve_dtype=solve_dtype)
         vals = ev(RR, TT)
         res.degrees.append(p)
         res.newton_its.append(its)

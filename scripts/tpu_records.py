@@ -231,8 +231,15 @@ def monge_ampere(kmax=14):
 def fracture(steps=1001, res=0.05):
     from proximalgalerkin_tpu.models.fracture import solve_fracture
     t0 = time.time()
+    # Directions: exact lagged ND-LU — the architecture the 1001-step
+    # record actually ran (RESULTS.md run-of-record table: "exact host
+    # LU after an A/B probe showed LU needs 1 LVPP / 2-3 Newtons per
+    # steady step vs 8-17 with mixed-precision device MINRES at this
+    # 5k-dof size"). schur_mixed (the chunked emulated-f64 Krylov
+    # workaround) is no longer on any record path; it remains available
+    # for explicit probes only (VERDICT r3 #8).
     r = solve_fracture(num_load_steps=steps, Tmax=5.0, max_res=res,
-                       solver_options=schur_mixed("psi", ksp_max_it=4000),
+                       solver_options=lagged_nd_lu(),
                        verbose=True,
                        checkpoint_path=str(RECDIR / f"ck_fracture_{steps}.npz"),
                        progress_jsonl=str(RECDIR / f"rec_fracture_{steps}.jsonl"))

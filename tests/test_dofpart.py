@@ -352,7 +352,13 @@ def test_distributed_linesearch_and_schur_variants():
             ("bt/jacobi", {"snes_linesearch_type": "bt"}),
             ("l2/jacobi", {"snes_linesearch_type": "l2"}),
             ("none/schur", {"pc_type": "schur",
-                            "pc_schur_field0": "psi"})]:
+                            "pc_schur_field0": "psi"}),
+            # the host direct default maps to restricted additive
+            # Schwarz with per-device dense subdomain LU + right-PC
+            # GMRES (PETSc's gmres+asm+sub_pc lu recipe) — the strong
+            # distributed PC (VERDICT r3 #5)
+            ("preonly/asm_lu", {"pc_type": "lu",
+                                "ksp_type": "preonly"})]:
         dlp = DistributedLvppProblem(dp)
         dlp.update(coeffs={"phi": phi_sh})
         opts = {"snes_rtol": 1e-6, "snes_max_it": 50,
