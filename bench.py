@@ -97,34 +97,65 @@ def _worker_fem(n: int, tol: float):
     elapsed = time.time() - t0
     feas = float((result.u - np.asarray(solver.phi)).min())
 
-    # ---- roofline accounting (VERDICT round-1 item 6): the solve is
-    # dominated by the inner-CG DIA SpMV, a bandwidth-bound kernel. Per CG
-    # iteration: 1 SpMV (read A once, gather x per diagonal, write y) +
-    # ~6 N-vector streams (axpy/dot/precond). Achieved GB/s vs the v5e
-    # HBM roofline (~819 GB/s) is the honest utilization metric; FLOP/s
-    # is reported for completeness (SpMV arithmetic intensity ~0.25
-    # FLOP/byte makes MXU-style MFU meaningless here).
+    # ---- roofline accounting (VERDICT r3 weak #3 rewrite). Two fixes
+    # over the round-3 model, whose numbers were meaningless on both
+    # branches (Pallas util 1.134 > 1; MG 0.112 from a hand-waved level
+    # estimate):
+    #   1. bytes are counted by PROGRAMMATICALLY walking the exact op
+    #      sequence (mg.py vcycle levels / DIA SpMV), with shifted
+    #      stencil reads of the same vector counted ONCE (they are
+    #      VMEM-resident re-reads, not HBM traffic — the round-3
+    #      double-count that produced util > 1);
+    #   2. the denominator is a stream triad MEASURED on this chip at
+    #      the same size/dtype right now (jax.profiler HBM counters are
+    #      not exposed through the axon tunnel), not the 819 GB/s
+    #      nameplate — utilization is "fraction of what a pure
+    #      bandwidth-bound kernel actually achieves here".
     N = solver.N
     ndiags = (solver.A_data.shape[0] if solver.A_data.ndim == 2
               else solver.ell.pattern.width)
     esz = 4 if mixed else 8          # inner CG element size (f32 | f64)
     cg = int(getattr(result, "cg_its_total", 0))
-    spmv_bytes = ndiags * N * esz * 2 + N * esz     # A + x gathers + y
-    iter_bytes = spmv_bytes + 6 * N * esz
+
+    def mg_vcycle_bytes(m, esz, nu=1, coarse_sweeps=24):
+        """Exact HBM-traffic walk of ops/mg.py vcycle(0, .): per Jacobi
+        sweep read {x, b, w} + write x (k5's 4 shifted x-reads are
+        VMEM hits; d = alpha*4 + w is fused from w); per residual read
+        {x, b, w} + write r; restrict/prolong read source + write
+        target (the tiny R factors stay resident)."""
+        ms = [m]
+        while ms[-1] >= 9 and (ms[-1] - 1) % 2 == 0:
+            ms.append((ms[-1] - 1) // 2 + 1)
+        total = 0
+        for li, mm in enumerate(ms):
+            nl, nc = mm * mm, (((mm - 1) // 2 + 1) ** 2)
+            if li == len(ms) - 1:
+                total += coarse_sweeps * 4 * nl      # coarsest smooths
+                continue
+            total += 2 * nu * 4 * nl                 # pre+post smooths
+            total += 4 * nl                          # residual
+            total += (nl + nc) + (nc + nl)           # restrict + prolong
+        return total * esz
+
+    # PCG body (mg.py pcg): matvec (A once + x once + y once) + z =
+    # precond(r) handled below + {x,r,p updates, 3 dots} ~ 7 vector
+    # streams (reads+writes that must touch HBM at 1M+ dofs)
+    spmv_bytes = (ndiags + 2) * N * esz
+    body_bytes = spmv_bytes + 7 * N * esz
     if pc == "mg":
-        # V(1,1)-PCG iteration: the CG body + a V-cycle (~4 stencil
-        # applies + R/P convs + diagonals over a 4/3-geometric level sum)
-        iter_bytes = spmv_bytes + 6 * N * esz + int(
-            (4 * (5 * N * esz) + 4 * N * esz) * 4 / 3)
+        iter_bytes = body_bytes + mg_vcycle_bytes(n + 1, esz)
+    else:
+        # fused Pallas Jacobi-CG: same body, diag precond is one extra
+        # read of d + z write
+        iter_bytes = body_bytes + 2 * N * esz
     total_bytes = cg * iter_bytes
     spmv_flops = 2 * ndiags * N
     total_flops = cg * (spmv_flops + 6 * N)
     gbps = total_bytes / max(elapsed, 1e-9) / 1e9
-    V5E_HBM_GBPS = 819.0
+
     print(f"# roofline: cg_its={cg} ndiags={ndiags} "
           f"bytes={total_bytes:.3e} flops={total_flops:.3e} "
           f"achieved={gbps:.1f} GB/s "
-          f"membw_util={gbps / V5E_HBM_GBPS:.3f} "
           f"gflops={total_flops / max(elapsed, 1e-9) / 1e9:.1f}",
           file=sys.stderr, flush=True)
 
@@ -133,8 +164,68 @@ def _worker_fem(n: int, tol: float):
         "dofs": 2 * solver.N, "newton": result.newton_its,
         "outer": result.outer_iterations, "converged": result.converged,
         "feasibility": feas, "cg_its": cg,
-        "membw_gbps": round(gbps, 1),
-        "membw_util": round(gbps / V5E_HBM_GBPS, 3)}))
+        "membw_gbps": round(gbps, 1), "esz": esz}))
+
+
+def _worker_stream(n_elems: int, esz: int):
+    """Measured HBM stream peak (GB/s) for the roofline denominator.
+
+    A 3-stream axpy recurrence in the bench dtype. Three requirements,
+    each learned by failed probes through the axon tunnel:
+      1. the repetition loop runs ON DEVICE (lax.fori_loop inside one
+         jit, traced trip count so all timings share one executable) —
+         timing separate dispatches measures tunnel latency, not HBM;
+      2. the working set must EXCEED VMEM: at the bench vector size
+         (4.2 MB) the loop carries stay VMEM-resident and the probe
+         reads back ~4800 GB/s, ~6x the HBM nameplate. Each carry is
+         padded to ~1 GB so every iteration must stream HBM;
+      3. completion is observed by FETCHING a scalar — on this backend
+         block_until_ready() returns before execution finishes.
+    Dispatch + fetch latency is cancelled by a least-squares fit of wall
+    time vs trip count: the intercept is overhead, the slope is seconds
+    per 3-stream pass (read u, read v, write v'; u' = v is an alias).
+    Trip counts keep each execution ~a second — the axon runtime has
+    faulted on minutes-long executions — and the orchestrator runs this
+    worker in a subprocess with a timeout so a wedged runtime cannot
+    take the bench down.
+    """
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    dt = jnp.float32 if esz == 4 else jnp.float64
+    rows = max(1, int(1e9) // (n_elems * esz))     # pad carry to ~1 GB
+    us = jnp.ones((rows, n_elems), dt)
+    vs = jnp.full((rows, n_elems), 2.0, dt)
+    iter_bytes = 3 * rows * n_elems * esz
+
+    @jax.jit
+    def stream(u, v, reps):
+        def body(_, uv):
+            u, v = uv
+            return v, 0.5 * u + 0.5 * v
+        return lax.fori_loop(0, reps, body, (u, v))[1]
+
+    def timed(reps):
+        r = jnp.int32(reps)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            float(stream(us, vs, r)[0, 0])         # fetch = true barrier
+            best = min(best, time.time() - t0)
+        return best
+
+    timed(2)                                       # compile + warm
+    counts = [10, 40, 160, 320]
+    times = [timed(r) for r in counts]
+    slope = float(np.polyfit(np.asarray(counts, float),
+                             np.asarray(times, float), 1)[0])
+    gbps = iter_bytes / max(slope, 1e-12) / 1e9
+    for r, t in zip(counts, times):
+        print(f"# stream reps={r} t={t:.4f}s", file=sys.stderr)
+    print(f"# stream carry {rows}x{n_elems} ({rows * n_elems * esz / 1e9:.2f}"
+          f" GB), slope {slope * 1e3:.3f} ms/iter", file=sys.stderr)
+    print(json.dumps({"stream_gbps": round(gbps, 1)}))
 
 
 def _worker_fd(n: int, tol: float):
@@ -213,7 +304,10 @@ def _cpu_saddle_lu_seconds(n: int) -> float:
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         mode, n, tol = sys.argv[2], int(sys.argv[3]), float(sys.argv[4])
-        (_worker_fem if mode == "fem" else _worker_fd)(n, tol)
+        if mode == "stream":
+            _worker_stream(n, int(tol))
+        else:
+            (_worker_fem if mode == "fem" else _worker_fd)(n, tol)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--baseline":
         n = int(sys.argv[2])
@@ -265,6 +359,19 @@ def main():
           f"newton={newton} outer={result['outer']} "
           f"feas={result['feasibility']:.2e} elapsed={elapsed:.2f}s "
           f"baseline={baseline_total:.1f}s", file=sys.stderr)
+
+    # roofline denominator: measured stream peak, in its own subprocess
+    # AFTER the solve result is secured (a wedged axon runtime then only
+    # costs the utilization number, never the benchmark)
+    if result.get("membw_gbps") and result["mode"] == "fem_p1":
+        sres = _run_subprocess("stream", result["dofs"] // 2,
+                               float(result.get("esz", 4)), 600)
+        peak = (sres or {}).get("stream_gbps") or 819.0
+        util = result["membw_gbps"] / peak
+        print(f"# roofline: achieved={result['membw_gbps']} GB/s "
+              f"stream_peak={peak} GB/s membw_util={util:.3f}"
+              + ("" if sres else " (probe failed; 819 nameplate)"),
+              file=sys.stderr)
     # environment identity for perf attribution (ENVIRONMENT.lock role)
     try:
         import jax
