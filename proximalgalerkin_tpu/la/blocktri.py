@@ -365,6 +365,134 @@ class BlockTriFactorization:
                         self._maps, self._nb, self._bs)
 
 
+# ----------------------------------------- cyclic-reduction variant (CR)
+
+def _cr_pad(D, L, U):
+    """Pad a (nb, bs, bs) block-tridiagonal system to n = 2^m - 1 blocks
+    with decoupled identity blocks (D=I, L=U=0) so every cyclic-reduction
+    level halves exactly. Returns (D, L, U) padded."""
+    nb, bs = D.shape[0], D.shape[1]
+    m = int(np.ceil(np.log2(nb + 1)))
+    n = 2 ** m - 1
+    if n == nb:
+        return D, L, U
+    eye = jnp.broadcast_to(jnp.eye(bs, dtype=D.dtype), (n - nb, bs, bs))
+    Z = jnp.zeros((n - nb,) + L.shape[1:], L.dtype)
+    return (jnp.concatenate([D, eye]), jnp.concatenate([L, Z]),
+            jnp.concatenate([U, Z]))
+
+
+@jax.jit
+def bt_factor_cr(D, L, U):
+    """Block CYCLIC REDUCTION factorization — the log-depth, batched-MXU
+    alternative to the sequential block-Thomas scan (bt_factor).
+
+    Thomas runs nb dependent steps (each one block inverse + two (bs,bs)
+    matmuls): at multiphase-50^2 scale (nb=51, bs=612) the scan's serial
+    latency makes the factor ~1.9 s on the v5e — the dominant cost of the
+    fused on-device Newton (records/ probe_mp_f32t). CR instead
+    eliminates all even-indexed blocks at once per level: ceil(log2 nb)
+    levels of ONE batched inverse + six batched matmuls each, ~2.7x the
+    FLOPs but 8x fewer dependent steps, all MXU-shaped. Same unpivoted
+    block-elimination numerics as Thomas: CR is a symmetric permutation
+    of the elimination order, so Vanderbei's strong-factorizability of
+    the equilibrated quasi-definite LVPP Jacobians still applies, and
+    f64 accuracy is reached by the same iterative refinement.
+
+    Per level (0-based, odd rows kept; L[k] = A[k+1,k], U[k] = A[k,k+1]):
+        D'_r = D_{2r+1} - L_{2r} Dinv_{2r} U_{2r}
+                        - U_{2r+1} Dinv_{2r+2} L_{2r+1}
+        L'_r = -L_{2r+2} Dinv_{2r+2} L_{2r+1}
+        U'_r = -U_{2r+1} Dinv_{2r+2} U_{2r+2}
+
+    Returns (levels, root): levels a tuple of per-level
+    (Dinv_e, G_l, G_r, Lr, Ul) stacks with G_l = L_{2r} Dinv_{2r},
+    G_r = U_{2r+1} Dinv_{2r+2}; root the (1, bs, bs) inverse of the last
+    remaining block."""
+    with jax.default_matmul_precision("highest"):
+        D, L, U = _cr_pad(D, L, U)
+        n = D.shape[0]
+        levels = []
+        while n > 1:
+            Dinv_e = _block_inv(D[0::2])
+            Do = D[1::2]
+            Ll, Lr = L[0::2], L[1::2]
+            Ul, Ur = U[0::2], U[1::2]
+            G_l = Ll @ Dinv_e[:-1]
+            G_r = Ur @ Dinv_e[1:]
+            D = Do - G_l @ Ul - G_r @ Lr
+            L = -(G_l[1:] @ Lr[:-1])
+            U = -(G_r[:-1] @ Ul[1:])
+            levels.append((Dinv_e, G_l, G_r, Lr, Ul))
+            n //= 2
+        return tuple(levels), _block_inv(D)
+
+
+@jax.jit
+def bt_apply_cr(levels, root, b_blocks):
+    """Solve through the CR factors: log-depth rhs reduction, root solve,
+    log-depth back-substitution. b_blocks is (nb, bs) in the UNPADDED
+    block layout; padding blocks (decoupled identities) get zero rhs."""
+    mv = partial(jnp.einsum, "rij,rj->ri")
+    with jax.default_matmul_precision("highest"):
+        n = 2 * levels[0][0].shape[0] - 1
+        nb = b_blocks.shape[0]
+        b = jnp.zeros((n,) + b_blocks.shape[1:], b_blocks.dtype)
+        b = b.at[:nb].set(b_blocks)
+        stack = []
+        for (Dinv_e, G_l, G_r, Lr, Ul) in levels:
+            be = b[0::2]
+            stack.append(be)
+            b = b[1::2] - mv(G_l, be[:-1]) - mv(G_r, be[1:])
+        x = mv(root, b)
+        for (Dinv_e, G_l, G_r, Lr, Ul), be in zip(reversed(levels),
+                                                  reversed(stack)):
+            t = be.at[1:].add(-mv(Lr, x)).at[:-1].add(-mv(Ul, x))
+            xe = mv(Dinv_e, t)
+            xn = jnp.zeros((2 * x.shape[0] + 1,) + x.shape[1:], x.dtype)
+            x = xn.at[0::2].set(xe).at[1::2].set(x)
+        return x[:nb]
+
+
+@partial(jax.jit, static_argnames=("nb", "bs"))
+def bt_solve_cr(levels, root, s, b64, rhs_idx, nb: int, bs: int):
+    """f64 rhs -> direction through the CR factors (one pass; factor
+    dtype inferred from the level tensors), mirroring bt_solve."""
+    fdt = root.dtype
+    bb = jnp.zeros(nb * bs, fdt).at[rhs_idx].set((s * b64).astype(fdt))
+    xb = bt_apply_cr(levels, root, bb.reshape(nb, bs)).reshape(-1)
+    return s * xb[rhs_idx].astype(b64.dtype)
+
+
+def _cr_cast(levels, root, dt):
+    cast = lambda t: jax.tree.map(lambda a: a.astype(dt), t)
+    return cast(levels), root.astype(dt)
+
+
+class CRBlockTriFactorization:
+    """Cyclic-reduction assembled+factored system — same
+    solve(b64)->dx64 interface and dtype contract as
+    BlockTriFactorization, selected via pc_factor_algo='cr'."""
+
+    def __init__(self, blocking: LineBlocking, ell, data64, arrays,
+                 dtype: str = "f32", apply_dtype: Optional[str] = None):
+        maps = blocking.device_maps()
+        D, L, U, s = bt_assemble(data64, arrays["ell_cols"], maps,
+                                 blocking.nb, blocking.bs, dtype)
+        self.levels, self.root = bt_factor_cr(D, L, U)
+        if (apply_dtype or dtype) == "f32" and dtype != "f32":
+            self.levels, self.root = _cr_cast(self.levels, self.root,
+                                              jnp.float32)
+        self.s = s
+        self._rhs_idx = maps["rhs_idx"]
+        self._nb, self._bs = blocking.nb, blocking.bs
+
+    def solve(self, b):
+        b64 = jnp.asarray(b)
+        return bt_solve_cr(self.levels, self.root, self.s, b64,
+                           self._rhs_idx, self._nb, self._bs)
+
+
 # ----------------------------------------------------- streamed variant
 
 @partial(jax.jit, static_argnames=("dtype",))

@@ -123,6 +123,7 @@ class NewtonSolver:
         which the axon runtime kernel-faults on). The factor costs ~0.1 s
         at gradient-200^2 scale, so it is rebuilt every call (no lag)."""
         from ..la.blocktri import (BlockTriFactorization,
+                                   CRBlockTriFactorization,
                                    StreamedBlockTriFactorization)
         prob = self.problem
         opts = self.options
@@ -133,11 +134,20 @@ class NewtonSolver:
             data64 = prob.ell_data(x)
         # streamed variant when the dense (nb,bs,bs) factor tensors exceed
         # HBM (eigenvalue 100^2: 26 GB dense vs ~5.7 GB streamed) or when
-        # forced via pc_factor_streamed
+        # forced via pc_factor_streamed; cyclic reduction (log-depth
+        # batched factor, bt_factor_cr) via pc_factor_algo='cr'
         streamed = (not blocking.dense_ok
                     or bool(opts.opt("pc_factor_streamed", False)))
-        Fact = (StreamedBlockTriFactorization if streamed
-                else BlockTriFactorization)
+        algo = str(opts.opt("pc_factor_algo", "thomas"))
+        if algo not in ("thomas", "cr"):
+            raise ValueError(f"pc_factor_algo must be 'thomas' or 'cr', "
+                             f"got {algo!r}")
+        if streamed:
+            Fact = StreamedBlockTriFactorization
+        elif algo == "cr":
+            Fact = CRBlockTriFactorization
+        else:
+            Fact = BlockTriFactorization
         # f64 factor for systems whose equilibrated conditioning defeats
         # the f32-factor + refinement scheme (multiphase saturated softmax)
         fdt = "f64" if str(opts.opt("pc_factor_dtype", "f32")) in (
@@ -431,7 +441,8 @@ class NewtonSolver:
                                         "pc_mg_nu", "ksp_refine_max",
                                         "pc_factor_streamed",
                                         "pc_factor_dtype",
-                                        "pc_factor_apply_dtype") if k in opts}
+                                        "pc_factor_apply_dtype",
+                                        "pc_factor_algo") if k in opts}
         max_it = int(opts.opt("snes_max_it"))
         # snes_fused_chunk bounds ONE device execution to `chunk` Newton
         # iterations (the axon runtime kernel-faults on executions longer

@@ -768,7 +768,7 @@ class NonlinearProblem:
         pc_opts = dict(pc_opts or {})
         split = getattr(self, "ell_split", None)
         key = ("fused_btlu", linesearch, max_it, split is not None,
-               tuple(sorted(pc_opts.items())))
+               tuple(sorted((k, str(v)) for k, v in pc_opts.items())))
         if key in self._direction_cache:
             return self._direction_cache[key]
 
@@ -788,38 +788,67 @@ class NonlinearProblem:
         adt_j = jnp.float32 if adt == "f32" or fdt == "f32" \
             else jnp.float64
         passes = int(pc_opts.get("ksp_refine_max", 8))
+        algo = str(pc_opts.get("pc_factor_algo", "thomas"))
+        if algo not in ("thomas", "cr"):
+            raise ValueError(f"pc_factor_algo must be 'thomas' or 'cr', "
+                             f"got {algo!r}")
 
-        def factor(data, ell_cols):
-            D, L, U, s = btm.bt_assemble(data, ell_cols, maps, nb, bs, fdt)
-            Minv, T = btm.bt_factor(D, L, U)
-            return (Minv.astype(adt_j), T.astype(adt_j),
-                    L.astype(adt_j), s)
+        if algo == "cr":
+            # log-depth batched cyclic-reduction factor (bt_factor_cr):
+            # cuts the nb-step sequential Thomas scan (~1.9 s at
+            # multiphase 50^2 on the v5e) to ~log2(nb) batched levels
+            def factor(data, ell_cols):
+                D, L, U, s = btm.bt_assemble(data, ell_cols, maps, nb,
+                                             bs, fdt)
+                levels, root = btm.bt_factor_cr(D, L, U)
+                levels, root = jax.tree.map(
+                    lambda a: a.astype(adt_j), (levels, root))
+                return (levels, root, s)
 
-        def solve1(fact, r):
-            Minv, T, L, s = fact
-            return btm.bt_solve(Minv, T, L, s, r, maps, nb, bs)
+            def solve1(fact, r):
+                levels, root, s = fact
+                return btm.bt_solve_cr(levels, root, s, r,
+                                       maps["rhs_idx"], nb, bs)
+        else:
+            def factor(data, ell_cols):
+                D, L, U, s = btm.bt_assemble(data, ell_cols, maps, nb,
+                                             bs, fdt)
+                Minv, T = btm.bt_factor(D, L, U)
+                return (Minv.astype(adt_j), T.astype(adt_j),
+                        L.astype(adt_j), s)
+
+            def solve1(fact, r):
+                Minv, T, L, s = fact
+                return btm.bt_solve(Minv, T, L, s, r, maps, nb, bs)
 
         def refine(fact, Av, b, stop2):
-            """Fixed-budget f64 refinement of the (possibly stale) factor
-            against the CURRENT operator -> (dx, reached_tol)."""
+            """Early-exit f64 refinement of the (possibly stale) factor
+            against the CURRENT operator -> (dx, reached_tol). A
+            while_loop, not a fixed scan: converged refinements (the
+            common case, 2-4 passes) stop paying for the full `passes`
+            budget of apply+SpMV rounds — at multiphase-50^2 fused-probe
+            scale this halves the per-Newton cost."""
             dx = solve1(fact, b)
-
-            def body(carry, _):
-                dx, done, rn2_prev = carry
-                r = b - Av(dx)
-                rn2 = jnp.vdot(r, r)
-                done = jnp.logical_or(done, rn2 <= stop2)
-                # stalled: no longer contracting by ~0.7/pass
-                done = jnp.logical_or(done, rn2 > 0.49 * rn2_prev)
-                e = jax.lax.cond(done, lambda rr: jnp.zeros_like(rr),
-                                 lambda rr: solve1(fact, rr), r)
-                return (dx + e, done, rn2), None
-
-            big = jnp.asarray(jnp.inf, b.dtype)
-            (dx, _, _), _ = jax.lax.scan(
-                body, (dx, jnp.asarray(False), big), None, length=passes)
             r = b - Av(dx)
-            return dx, jnp.vdot(r, r) <= stop2
+            rn2 = jnp.vdot(r, r)
+            big = jnp.asarray(jnp.inf, rn2.dtype)
+
+            def cond(c):
+                dx, r, rn2, rn2_prev, p = c
+                live = jnp.logical_and(rn2 > stop2, jnp.isfinite(rn2))
+                # stalled: no longer contracting by ~0.7/pass
+                live = jnp.logical_and(live, rn2 <= 0.49 * rn2_prev)
+                return jnp.logical_and(p < passes, live)
+
+            def body(c):
+                dx, r, rn2, _, p = c
+                dx = dx + solve1(fact, r)
+                r = b - Av(dx)
+                return dx, r, jnp.vdot(r, r), rn2, p + 1
+
+            dx, r, rn2, _, _ = jax.lax.while_loop(
+                cond, body, (dx, r, rn2, big, jnp.asarray(0, jnp.int32)))
+            return dx, rn2 <= stop2
 
         def solve(x0, coeffs, consts, rtol, atol, stol, ksp_rtol,
                   ksp_atol, damping, cell_data, ell_arrays, fact, valid,
@@ -895,12 +924,14 @@ class NonlinearProblem:
         def fn(x0, coeffs=None, consts=None, rtol=1e-8, atol=1e-50,
                stol=0.0, ksp_rtol=1e-10, ksp_atol=0.0, damping=1.0):
             if fn._fact is None:
-                N = self.space.num_dofs
-                fn._fact = (
-                    jnp.zeros((nb, bs, bs), adt_j),
-                    jnp.zeros((nb - 1, bs, bs), adt_j),
-                    jnp.zeros((nb - 1, bs, bs), adt_j),
-                    jnp.ones((N,), form.dtype))
+                # structural placeholder matching factor()'s pytree
+                # (never applied: valid=False routes around it)
+                cols = ell.arrays["ell_cols"]
+                spec = jax.eval_shape(
+                    factor,
+                    jax.ShapeDtypeStruct(cols.shape, form.dtype), cols)
+                fn._fact = jax.tree.map(
+                    lambda t: jnp.zeros(t.shape, t.dtype), spec)
                 fn._valid = False
             cc = dict(coeffs if coeffs is not None else self.coeffs)
             kk = dict(consts if consts is not None else self.consts)

@@ -66,6 +66,24 @@ def test_fused_btlu_matches_default(solved):
     assert np.allclose(m, 1.0, atol=1e-10)
 
 
+def test_fused_btlu_cr_matches_default(solved):
+    """fused Newton with the cyclic-reduction factor
+    (pc_factor_algo='cr', la/blocktri.py bt_factor_cr) reproduces the
+    host-loop trajectory — the log-depth batched factor that replaces
+    the sequential Thomas scan on the device."""
+    r2 = solve_multiphase(
+        N=10, M=10, tau0=1e-4, T=2e-4, stopping_tol=1e-5, verbose=False,
+        solver_options={"snes_fused": True, "ksp_type": "preonly",
+                        "pc_type": "btlu", "ksp_rtol": 1e-9,
+                        "pc_factor_dtype": "f64", "pc_factor_lag": 1,
+                        "pc_factor_algo": "cr"})
+    ref = np.asarray(solved.u)
+    assert np.linalg.norm(np.asarray(r2.u) - ref) < 1e-8 * max(
+        1.0, np.linalg.norm(ref))
+    m = [float(x[0]) for x in r2.mass_history]
+    assert np.allclose(m, 1.0, atol=1e-10)
+
+
 def test_ell_split_matches_full_assembly():
     """The device EllSplit (closed-form softmax Jacobian
     d(-softmax)_m/dpsi_n = s_m s_n - delta_mn s_m scattered into the
