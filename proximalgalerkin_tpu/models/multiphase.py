@@ -308,16 +308,19 @@ def solve_multiphase(
                          "mass": [float(m[0]) for m in masses]},
         ).save(checkpoint_path)
 
-    def _emit(j, i):
+    def _emit(j, i, wall):
         if progress_jsonl is None:
             return
         import json as _json
         with open(progress_jsonl, "a") as f:
             f.write(_json.dumps(
                 {"step": j, "newton": int(newton_its[j - 1]),
-                 "lvpp": int(i), "mass": float(masses[-1][0])}) + "\n")
+                 "lvpp": int(i), "mass": float(masses[-1][0]),
+                 "wall_s": round(wall, 2)}) + "\n")
 
+    import time as _time
     for j in range(start_step + 1, num_steps + 1):
+        _t_step = _time.time()
         if verbose:
             rank_print(f"Step {j}/{num_steps}")
         # latent warm start psi = ln(|u|+1e-7) + 1 (:183-196)
@@ -364,7 +367,7 @@ def solve_multiphase(
         u_prev = x[u_sl]
         masses.append(np.array(
             [float(mass_fn(x, problem.coeffs, {}))]))
-        _emit(j, i)
+        _emit(j, i, _time.time() - _t_step)
         if checkpoint_path is not None and j % checkpoint_every == 0:
             _save_ck(j)
 

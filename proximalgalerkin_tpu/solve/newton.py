@@ -132,17 +132,34 @@ class NewtonSolver:
         arrays = ell.arrays
         with self.timer.phase("bt_assemble"):
             data64 = prob.ell_data(x)
-        # streamed variant when the dense (nb,bs,bs) factor tensors exceed
-        # HBM (eigenvalue 100^2: 26 GB dense vs ~5.7 GB streamed) or when
-        # forced via pc_factor_streamed; cyclic reduction (log-depth
-        # batched factor, bt_factor_cr) via pc_factor_algo='cr'
-        streamed = (not blocking.dense_ok
-                    or bool(opts.opt("pc_factor_streamed", False)))
         algo = str(opts.opt("pc_factor_algo", "thomas"))
         if algo not in ("thomas", "cr"):
             raise ValueError(f"pc_factor_algo must be 'thomas' or 'cr', "
                              f"got {algo!r}")
+        # streamed variant when the dense (nb,bs,bs) factor tensors exceed
+        # HBM (eigenvalue 100^2: 26 GB dense vs ~5.7 GB streamed) or when
+        # forced via pc_factor_streamed; cyclic reduction (log-depth
+        # batched factor, bt_factor_cr) via pc_factor_algo='cr'.
+        # The fit check uses the ACTUAL factor itemsize — an f64 factor
+        # doubles every byte estimate (ADVICE r4)
+        isz = 8 if str(opts.opt("pc_factor_dtype", "f32")) in (
+            "f64", "double") else 4
+        streamed = (not blocking.fits_dense(isz, algo)
+                    or bool(opts.opt("pc_factor_streamed", False)))
+        if streamed and not blocking.fits_streamed(isz):
+            raise ValueError(
+                f"block-tridiagonal factors too large even streamed at "
+                f"{isz}-byte factor dtype: nb={blocking.nb} "
+                f"bs={blocking.bs}")
         if streamed:
+            if algo == "cr":
+                # loud, like the invalid-algo ValueError: the streamed
+                # layout only implements the Thomas recursion, so an
+                # explicit CR request cannot be honored (ADVICE r4)
+                raise ValueError(
+                    "pc_factor_algo='cr' is incompatible with the "
+                    "streamed factor layout (dense factors exceed HBM "
+                    "or pc_factor_streamed was set); use 'thomas'")
             Fact = StreamedBlockTriFactorization
         elif algo == "cr":
             Fact = CRBlockTriFactorization
@@ -476,13 +493,16 @@ class NewtonSolver:
         debug = bool(_os.environ.get("PGTPU_FUSED_DEBUG"))
         t_dbg = _time.time()
         nref0 = getattr(fused, "last_refactors", None)
+        import jax as _jax
         with self.timer.phase("newton_fused"):
             x, it, fn, f0, ls_ok, sconv = fused(
                 x0, prob.coeffs, prob.consts, rtol=rtol_o, atol=atol_o,
                 **kw)
-            it = int(it)
-            fn = float(fn)
-            f0 = float(f0)
+            # ONE batched readback — individual int()/float() fetches are
+            # each a full tunnel round-trip (~0.3 s on axon)
+            it, fn, f0, ls_ok, sconv = _jax.device_get(
+                (it, fn, f0, ls_ok, sconv))
+            it, fn, f0 = int(it), float(fn), float(f0)
             nref_tot = getattr(fused, "last_refactors", 0)
             if it_per_call < max_it:
                 # continuation chunks test against the FIRST chunk's f0
@@ -492,11 +512,15 @@ class NewtonSolver:
                        and not bool(sconv) and np.isfinite(fn)
                        and fn > atol_eff):
                     budget = min(it_per_call, max_it - it)
+                    # it_cap threads the remaining budget into the fused
+                    # while_loop as a runtime bound, so the tail chunk
+                    # honors snes_max_it exactly (ADVICE r4)
                     x, itc, fn, _, ls_ok, sconv = fused(
                         x, prob.coeffs, prob.consts, rtol=0.0,
-                        atol=atol_eff, **kw)
-                    itc = int(itc)
-                    fn = float(fn)
+                        atol=atol_eff, it_cap=budget, **kw)
+                    itc, fn, ls_ok, sconv = _jax.device_get(
+                        (itc, fn, ls_ok, sconv))
+                    itc, fn = int(itc), float(fn)
                     it += itc
                     nref_tot += getattr(fused, "last_refactors", 0)
                     if itc < budget:

@@ -336,8 +336,12 @@ class NonlinearProblem:
             if mat_type != "ell":
                 raise ValueError("pc='btlu' requires mat_type='ell'")
             blocking = self.line_blocking()
-            bt_streamed = (not blocking.dense_ok
-                           or bool(pc_opts.get("pc_factor_streamed", False)))
+            bt_fdt = "f64" if str(pc_opts.get("pc_factor_dtype", "f32")) \
+                in ("f64", "double") else "f32"
+            # fit check at the ACTUAL factor itemsize (ADVICE r4)
+            bt_streamed = (not blocking.fits_dense(
+                8 if bt_fdt == "f64" else 4)
+                or bool(pc_opts.get("pc_factor_streamed", False)))
             # materialize the device maps EAGERLY: the lazy caches create
             # jnp constants, and a constant first created inside the fused
             # Newton's while_loop trace leaks its tracer (the mg.py
@@ -345,8 +349,6 @@ class NonlinearProblem:
             bt_maps = (blocking.streamed_maps() if bt_streamed
                        else blocking.device_maps())
             bt_rhs = jnp.asarray(blocking.rhs_idx) if bt_streamed else None
-            bt_fdt = "f64" if str(pc_opts.get("pc_factor_dtype", "f32")) \
-                in ("f64", "double") else "f32"
             bt_ctx = (blocking, bt_streamed, bt_maps, bt_rhs,
                       int(pc_opts.get("ksp_refine_max", 6)), bt_fdt)
 
@@ -684,7 +686,7 @@ class NonlinearProblem:
                                             pc_opts=pc_opts)
 
         def solve(x0, coeffs, consts, rtol, atol, stol, ksp_rtol, ksp_atol,
-                  damping, cell_data, ell_arrays):
+                  damping, it_cap, cell_data, ell_arrays):
             def residual(z):
                 F = form._residual_core(z, coeffs, consts, cell_data)
                 return F.at[bc_idx].set(z[bc_idx] - bc_vals)
@@ -707,8 +709,12 @@ class NonlinearProblem:
                 live = jnp.logical_and(fn > jnp.maximum(rtol * f0, atol),
                                        jnp.isfinite(fn))
                 live = jnp.logical_and(live, jnp.logical_not(sconv))
-                return jnp.logical_and(jnp.logical_and(it < max_it, live),
-                                       ls_ok)
+                # it_cap is a RUNTIME bound <= the compiled max_it: the
+                # final continuation chunk passes its remaining budget so
+                # the total never overshoots snes_max_it (ADVICE r4)
+                return jnp.logical_and(
+                    jnp.logical_and(it < jnp.minimum(it_cap, max_it), live),
+                    ls_ok)
 
             def body(s):
                 it, x, F, fn, _, _ = s
@@ -731,13 +737,16 @@ class NonlinearProblem:
         jitted = jax.jit(solve)
 
         def fn(x0, coeffs=None, consts=None, rtol=1e-8, atol=1e-50,
-               stol=0.0, ksp_rtol=1e-10, ksp_atol=0.0, damping=1.0):
+               stol=0.0, ksp_rtol=1e-10, ksp_atol=0.0, damping=1.0,
+               it_cap=None):
             return jitted(jnp.asarray(x0, form.dtype),
                           dict(coeffs if coeffs is not None else self.coeffs),
                           dict(consts if consts is not None else self.consts),
                           jnp.asarray(rtol), jnp.asarray(atol),
                           jnp.asarray(stol), jnp.asarray(ksp_rtol),
                           jnp.asarray(ksp_atol), jnp.asarray(damping),
+                          jnp.asarray(max_it if it_cap is None else it_cap,
+                                      jnp.int32),
                           form.cell_data,
                           ell.arrays if ell is not None else {})
 
@@ -777,14 +786,20 @@ class NonlinearProblem:
         bc_idx, bc_vals = self.bc_idx, self.bc_vals
         ell = self.ell_matrix
         blocking = self.line_blocking()
-        if not blocking.dense_ok:
-            raise ValueError("fused lagged btlu requires the dense factor "
-                             "layout (blocking.dense_ok)")
-        maps = blocking.device_maps()  # eager: tracer-leak lesson (mg.py)
-        nb, bs = blocking.nb, blocking.bs
         fdt = "f64" if str(pc_opts.get("pc_factor_dtype", "f32")) in (
             "f64", "double") else "f32"
+        _algo = str(pc_opts.get("pc_factor_algo", "thomas"))
+        if not blocking.fits_dense(8 if fdt == "f64" else 4, _algo):
+            raise ValueError("fused lagged btlu requires the dense factor "
+                             "layout to fit HBM at the requested factor "
+                             "dtype (LineBlocking.fits_dense)")
+        maps = blocking.device_maps()  # eager: tracer-leak lesson (mg.py)
+        nb, bs = blocking.nb, blocking.bs
         adt = str(pc_opts.get("pc_factor_apply_dtype", "f32"))
+        if adt in ("f64", "double") and fdt == "f32":
+            raise ValueError("pc_factor_apply_dtype='f64' requires "
+                             "pc_factor_dtype='f64' (an f32 factor cannot "
+                             "be applied at f64 accuracy)")
         adt_j = jnp.float32 if adt == "f32" or fdt == "f32" \
             else jnp.float64
         passes = int(pc_opts.get("ksp_refine_max", 8))
@@ -851,8 +866,8 @@ class NonlinearProblem:
             return dx, rn2 <= stop2
 
         def solve(x0, coeffs, consts, rtol, atol, stol, ksp_rtol,
-                  ksp_atol, damping, cell_data, ell_arrays, fact, valid,
-                  lin_data, split_extra):
+                  ksp_atol, damping, it_cap, cell_data, ell_arrays, fact,
+                  valid, lin_data, split_extra):
             def residual(z):
                 F = form._residual_core(z, coeffs, consts, cell_data)
                 return F.at[bc_idx].set(z[bc_idx] - bc_vals)
@@ -870,8 +885,11 @@ class NonlinearProblem:
                 live = jnp.logical_and(fn > jnp.maximum(rtol * f0, atol),
                                        jnp.isfinite(fn))
                 live = jnp.logical_and(live, jnp.logical_not(sconv))
+                # runtime budget (<= compiled max_it): the continuation
+                # tail chunk must not overshoot snes_max_it (ADVICE r4)
                 return jnp.logical_and(
-                    jnp.logical_and(it < max_it, live), ls_ok)
+                    jnp.logical_and(it < jnp.minimum(it_cap, max_it), live),
+                    ls_ok)
 
             def body(s):
                 it, x, F, fn, _, _, fact, valid, nref = s
@@ -919,10 +937,11 @@ class NonlinearProblem:
                      fact, valid, jnp.asarray(0, jnp.int32)))
             return x, it, fn, f0, ls_ok, sconv, fact, nref
 
-        jitted = jax.jit(solve, donate_argnums=(11,))
+        jitted = jax.jit(solve, donate_argnums=(12,))
 
         def fn(x0, coeffs=None, consts=None, rtol=1e-8, atol=1e-50,
-               stol=0.0, ksp_rtol=1e-10, ksp_atol=0.0, damping=1.0):
+               stol=0.0, ksp_rtol=1e-10, ksp_atol=0.0, damping=1.0,
+               it_cap=None):
             if fn._fact is None:
                 # structural placeholder matching factor()'s pytree
                 # (never applied: valid=False routes around it)
@@ -945,10 +964,17 @@ class NonlinearProblem:
                 jnp.asarray(x0, form.dtype), cc, kk,
                 jnp.asarray(rtol), jnp.asarray(atol), jnp.asarray(stol),
                 jnp.asarray(ksp_rtol), jnp.asarray(ksp_atol),
-                jnp.asarray(damping), form.cell_data, ell.arrays,
+                jnp.asarray(damping),
+                jnp.asarray(max_it if it_cap is None else it_cap,
+                            jnp.int32),
+                form.cell_data, ell.arrays,
                 fn._fact, jnp.asarray(fn._valid), lin_data, split_extra)
             fn._fact = fact
             fn._valid = True
+            # one batched readback (individual fetches are each a full
+            # tunnel round-trip on axon)
+            it, fnm, f0, ls_ok, sconv, nref = jax.device_get(
+                (it, fnm, f0, ls_ok, sconv, nref))
             fn.last_refactors = int(nref)
             return x, it, fnm, f0, ls_ok, sconv
 

@@ -219,6 +219,67 @@ def multiphase(N=50, steps=None):
            "newton": int(np.sum(r.newton_iterations))})
 
 
+def multiphase_device(N=50, steps=5, algo="cr", chunk=0):
+    """On-device multiphase probe/record (VERDICT r4 missing #1): the
+    first `steps` implicit-Euler steps of the 50^2 protocol with ALL
+    directions on the chip through the fused lagged-btlu Newton
+    (solve/nonlinear.py fused_newton_btlu — one XLA dispatch per Newton
+    solve, factor carried across the alpha loop; pc_factor_algo='cr'
+    = log-depth cyclic-reduction factor, la/blocktri.py bt_factor_cr).
+    Per-step wall + counts go to rec_multiphase_{N}_device.jsonl; compare
+    counts line-by-line against the CPU record rec_multiphase_50.jsonl
+    and s/step against its 7.6 h / 700 steps = ~39 s/step average."""
+    from proximalgalerkin_tpu.models.multiphase import solve_multiphase
+    dt = 1e-5
+    t0 = time.time()
+    opts = {"snes_fused": True, "ksp_type": "preonly", "pc_type": "btlu",
+            "ksp_rtol": 1e-9, "pc_factor_dtype": "f64",
+            "pc_factor_apply_dtype": "f32", "pc_factor_lag": 1,
+            "pc_factor_algo": algo}
+    if chunk:
+        # bound ONE device execution to `chunk` Newton iterations — the
+        # axon runtime kernel-faults on long executions (the unchunked
+        # 5-step probe crashed the TPU worker on its first fused solve)
+        opts["snes_fused_chunk"] = int(chunk)
+    jpath = RECDIR / f"rec_multiphase_{N}_device.jsonl"
+    r = solve_multiphase(N=N, M=N, tau0=dt, T=steps * dt, verbose=True,
+                         solver_options=opts,
+                         progress_jsonl=str(jpath))
+    _emit(f"multiphase_{N}_device_{algo}", time.time() - t0,
+          {"steps": len(r.newton_iterations),
+           "newton": [int(v) for v in r.newton_iterations],
+           "lvpp": [int(v) for v in r.lvpp_iterations]})
+
+
+def obstacle_unstructured(res=0.0085, tol=1e-8, platform=None):
+    """All-device directions on an UNSTRUCTURED mesh at protocol scale
+    (VERDICT r4 missing #2 / next-round #2): the reference's actual
+    example-01 geometry — a gmsh-style disk (generate_mesh_gmsh.py:46-48)
+    — at >=100k dofs, obstacle LVPP to tol_exit=1e-8, directions via the
+    graph-BFS LineBlocking + f64 block-tridiagonal device factor
+    (la/blocktri.py _graph_level_blocks). res=0.0085 -> 101k dofs,
+    nb=272 bs=562, dense f64 factors 3.4 GB. Run once on the chip and
+    once with PGTPU_PLATFORM=cpu + PGTPU_RECORD_LU=1 for the
+    counts-identical host-LU cross-check."""
+    from proximalgalerkin_tpu.mesh.unstructured import create_disk_mesh
+    from proximalgalerkin_tpu.models.obstacle import solve_obstacle_problem
+    t0 = time.time()
+    mesh = create_disk_mesh(res=res)
+    opts = device_direct(**({"pc_factor_dtype": "f64",
+                             "pc_factor_apply_dtype": "f32",
+                             "pc_factor_lag": 1}
+                            if not _USE_LU else {}))
+    prob, r = solve_obstacle_problem(
+        mesh, polynomial_order=1, tol_exit=tol,
+        maximum_number_of_outer_loop_iterations=60,
+        solver_options=opts, verbose=True)
+    _emit(f"obstacle_unstructured_res{res}", time.time() - t0,
+          {"dofs": int(prob.space.num_dofs),
+           "lvpp": int(r.iterations),
+           "newton": [int(v) for v in r.newton_steps],
+           "converged": bool(r.converged)})
+
+
 def monge_ampere(kmax=14):
     from proximalgalerkin_tpu.models.monge_ampere import p_refinement_sweep
     t0 = time.time()
@@ -252,5 +313,10 @@ def fracture(steps=1001, res=0.05):
 
 if __name__ == "__main__":
     which = sys.argv[1]
-    args = [float(a) if "." in a else int(a) for a in sys.argv[2:]]
+    def _coerce(a):
+        try:
+            return float(a) if "." in a else int(a)
+        except ValueError:
+            return a
+    args = [_coerce(a) for a in sys.argv[2:]]
     globals()[which](*args)
