@@ -194,38 +194,60 @@ def _worker_stream(n_elems: int, esz: int):
     import jax.numpy as jnp
     from jax import lax
     dt = jnp.float32 if esz == 4 else jnp.float64
-    rows = max(1, int(1e9) // (n_elems * esz))     # pad carry to ~1 GB
-    us = jnp.ones((rows, n_elems), dt)
-    vs = jnp.full((rows, n_elems), 2.0, dt)
-    iter_bytes = 3 * rows * n_elems * esz
 
-    @jax.jit
-    def stream(u, v, reps):
-        def body(_, uv):
-            u, v = uv
-            return v, 0.5 * u + 0.5 * v
-        return lax.fori_loop(0, reps, body, (u, v))[1]
+    def probe(chains: int, gb_per_buf: float):
+        """One stream measurement with `chains` INDEPENDENT axpy
+        recurrences advanced per trip. chains=1 is the round-4 probe; its
+        loop-carried dependence charges any per-iteration pipeline drain
+        as bandwidth (VERDICT r4 weak #3). chains>1 advances disjoint
+        ~gb_per_buf carries with no cross-chain dependence inside each
+        trip, so chain k+1's loads overlap chain k's stores — if the
+        1-chain number was drain-limited, this reads higher and becomes
+        the validated ceiling."""
+        rows = max(1, int(gb_per_buf * 1e9) // (n_elems * esz))
+        us = tuple(jnp.full((rows, n_elems), 1.0 + i, dt)
+                   for i in range(chains))
+        vs = tuple(jnp.full((rows, n_elems), 2.0 + i, dt)
+                   for i in range(chains))
+        iter_bytes = 3 * rows * n_elems * esz * chains
 
-    def timed(reps):
-        r = jnp.int32(reps)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            float(stream(us, vs, r)[0, 0])         # fetch = true barrier
-            best = min(best, time.time() - t0)
-        return best
+        @jax.jit
+        def stream(u, v, reps):
+            def body(_, uv):
+                u, v = uv
+                return v, tuple(0.5 * ui + 0.5 * vi
+                                for ui, vi in zip(u, v))
+            return lax.fori_loop(0, reps, body, (u, v))[1]
 
-    timed(2)                                       # compile + warm
-    counts = [10, 40, 160, 320]
-    times = [timed(r) for r in counts]
-    slope = float(np.polyfit(np.asarray(counts, float),
-                             np.asarray(times, float), 1)[0])
-    gbps = iter_bytes / max(slope, 1e-12) / 1e9
-    for r, t in zip(counts, times):
-        print(f"# stream reps={r} t={t:.4f}s", file=sys.stderr)
-    print(f"# stream carry {rows}x{n_elems} ({rows * n_elems * esz / 1e9:.2f}"
-          f" GB), slope {slope * 1e3:.3f} ms/iter", file=sys.stderr)
-    print(json.dumps({"stream_gbps": round(gbps, 1)}))
+        def timed(reps):
+            r = jnp.int32(reps)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                float(stream(us, vs, r)[0][0, 0])  # fetch = true barrier
+                best = min(best, time.time() - t0)
+            return best
+
+        timed(2)                                   # compile + warm
+        counts = [10, 40, 160, 320] if chains == 1 else [5, 20, 60, 120]
+        times = [timed(r) for r in counts]
+        slope = float(np.polyfit(np.asarray(counts, float),
+                                 np.asarray(times, float), 1)[0])
+        gbps = iter_bytes / max(slope, 1e-12) / 1e9
+        for r, t in zip(counts, times):
+            print(f"# stream[{chains}ch] reps={r} t={t:.4f}s",
+                  file=sys.stderr)
+        print(f"# stream[{chains}ch] carry {rows}x{n_elems} x{chains} "
+              f"({chains * rows * n_elems * esz / 1e9:.2f} GB), slope "
+              f"{slope * 1e3:.3f} ms/iter -> {gbps:.1f} GB/s",
+              file=sys.stderr)
+        return gbps
+
+    dep = probe(1, 1.0)
+    indep = probe(4, 0.6)
+    print(json.dumps({"stream_gbps": round(max(dep, indep), 1),
+                      "stream_gbps_dep": round(dep, 1),
+                      "stream_gbps_indep": round(indep, 1)}))
 
 
 def _worker_fd(n: int, tol: float):
