@@ -44,6 +44,7 @@ class FractureResult:
     lvpp_per_step: List[int] = field(default_factory=list)
     broken: bool = False
     max_damage_history: List[float] = field(default_factory=list)
+    retries_per_step: List[int] = field(default_factory=list)
 
 
 def solve_fracture(
@@ -288,6 +289,7 @@ def solve_fracture(
         result.load_history.append(float(T))
         result.newton_per_step.append(newton_count)
         result.lvpp_per_step.append(lvpp_count)
+        result.retries_per_step.append(nfail)
         result.max_damage_history.append(max_c(x))
         _emit(step, T, newton_count, lvpp_count)
 

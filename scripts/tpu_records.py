@@ -311,11 +311,50 @@ def fracture(steps=1001, res=0.05):
            "broken": bool(r.broken)})
 
 
+def fracture_distributed(steps=30, res=0.1, tmax=3.0):
+    """Distributed retry machine under REAL failure (VERDICT r4 next #8):
+    ~`steps` load steps at res `res` spanning crack nucleation, run
+    through the dof-partitioned driver on 8 virtual CPU devices AND on
+    the host, comparing per-step Newton/LVPP counts and retry firings.
+    Run with PGTPU_PLATFORM=cpu and
+    XLA_FLAGS=--xla_force_host_platform_device_count=8."""
+    from proximalgalerkin_tpu.models.fracture import solve_fracture
+    opts = {"snes_linesearch_type": "l2", "snes_atol": 1e-6,
+            "snes_rtol": 1e-8, "snes_max_it": 50, "ksp_type": "minres",
+            "pc_type": "jacobi", "mat_type": "matfree",
+            "ksp_rtol": 1e-11, "ksp_max_it": 6000}
+    kw = dict(max_res=res, Tmin=0.0, Tmax=tmax, num_load_steps=steps,
+              verbose=True)
+    t0 = time.time()
+    r_host = solve_fracture(solver_options=opts, **kw)
+    t_host = time.time() - t0
+    t0 = time.time()
+    r_dist = solve_fracture(solver_options=opts, n_devices=8, **kw)
+    t_dist = time.time() - t0
+    _emit(f"fracture_distributed_{steps}x{res}", t_host + t_dist, {
+        "host_newton": r_host.newton_per_step,
+        "dist_newton": r_dist.newton_per_step,
+        "host_lvpp": r_host.lvpp_per_step,
+        "dist_lvpp": r_dist.lvpp_per_step,
+        "host_retries": r_host.retries_per_step,
+        "dist_retries": r_dist.retries_per_step,
+        "counts_identical": bool(
+            r_host.newton_per_step == r_dist.newton_per_step
+            and r_host.lvpp_per_step == r_dist.lvpp_per_step),
+        "c_diff": float(abs(r_dist.c - r_host.c).max()),
+        "max_damage": float(max(r_dist.max_damage_history)),
+        "wall_host_s": round(t_host, 1), "wall_dist_s": round(t_dist, 1)})
+
+
 if __name__ == "__main__":
     which = sys.argv[1]
     def _coerce(a):
         try:
-            return float(a) if "." in a else int(a)
+            return int(a)
+        except ValueError:
+            pass
+        try:
+            return float(a)
         except ValueError:
             return a
     args = [_coerce(a) for a in sys.argv[2:]]
