@@ -41,25 +41,73 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _block_inv(M):
+def _block_inv(M, algo: str = "ns"):
     """Dense block inverse in the factor dtype.
 
     f32 (and any dtype on CPU): LAPACK/XLA LU inverse directly. f64 on
-    the TPU: the LuDecomposition custom call is f32-only, so compute the
-    f32 inverse and recover f64 accuracy with three Newton-Schulz steps
-    X <- X (2I - M X) in (emulated-)f64 matmuls. This converges even for
-    the multiphase saturated-softmax blocks (measured block cond ~5e10 at
-    50^2: NS(3) residual 7e-10) because the ill-conditioning is DIAGONAL
-    — the eps0=1e-9 psi regularization makes tiny but accurately-computed
-    pivots, so the f32 LU inverse has small componentwise backward error
-    and rho(I - M X0) << 1 despite cond >> 1/eps_f32."""
+    the TPU: the LuDecomposition custom call is f32-only, so two
+    strategies exist:
+
+    'ns' (default): f32 inverse + three Newton-Schulz steps
+    X <- X (2I - M X) in (emulated-)f64 matmuls. Converges when the f32
+    inverse has SOME digits — true for the multiphase saturated-softmax
+    blocks (cond ~5e10 but DIAGONAL ill-conditioning: tiny,
+    accurately-computed pivots give rho(I - M X0) << 1), false once the
+    equilibrated block cond passes ~1/eps_f32^2 with CROSS-SCALE coupling
+    (deep-contact obstacle saddles: off-diagonal u-psi entries ~1e8 after
+    equilibration, cond ~1e16 — measured NaN at alpha 16 on the 101k-dof
+    unstructured record where CPU f64 LAPACK sails through).
+
+    'schur': recursive unpivoted block-Schur elimination in emulated-f64
+    matmuls — REAL f64 Gaussian elimination depth. The LVPP blocks (and
+    their nested Schur complements) are symmetric quasi-definite, for
+    which unpivoted block elimination is strongly factorizable
+    (Vanderbei), so no pivoting is needed at any level; leaves are
+    symmetrically re-equilibrated (their cross-scale entries become O(1)
+    locally) and inverted by the 'ns' scheme. ~3-5x the 'ns' cost."""
     if M.dtype != jnp.float64 or jax.default_backend() == "cpu":
         return jnp.linalg.inv(M)
+    if algo == "schur":
+        return _block_inv_schur(M)
+    return _block_inv_ns(M)
+
+
+def _block_inv_ns(M):
     X = jnp.linalg.inv(M.astype(jnp.float32)).astype(jnp.float64)
     eye2 = 2.0 * jnp.eye(M.shape[-1], dtype=jnp.float64)
     for _ in range(3):
         X = X @ (eye2 - M @ X)
     return X
+
+
+def _block_inv_schur(M, leaf: int = 128):
+    """inv(M) by recursive 2x2 block elimination (see _block_inv 'schur').
+    Supports leading batch dims. Leaf blocks are scaled to unit row
+    inf-norm symmetrically before the f32+NS inverse: T M T with
+    T = diag(1/sqrt(rownorm)) — inv(M) = T inv(TMT) T."""
+    n = M.shape[-1]
+    if n <= leaf:
+        t = 1.0 / jnp.sqrt(jnp.maximum(
+            jnp.max(jnp.abs(M), axis=-1), 1e-300))
+        Ms = t[..., :, None] * M * t[..., None, :]
+        Xs = _block_inv_ns(Ms)
+        return t[..., :, None] * Xs * t[..., None, :]
+    k = n // 2
+    A = M[..., :k, :k]
+    B = M[..., :k, k:]
+    C = M[..., k:, :k]
+    D = M[..., k:, k:]
+    Ai = _block_inv_schur(A, leaf)
+    CAi = C @ Ai
+    S = D - CAi @ B
+    Si = _block_inv_schur(S, leaf)
+    AiB = Ai @ B
+    tl = Ai + AiB @ (Si @ CAi)
+    tr = -AiB @ Si
+    bl = -Si @ CAi
+    top = jnp.concatenate([tl, tr], axis=-1)
+    bot = jnp.concatenate([bl, Si], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
 
 
 def _check_apply_dtype(dtype: str, apply_dtype: Optional[str]):
@@ -397,8 +445,8 @@ def bt_assemble(ell_data, ell_cols, maps, nb: int, bs: int,
             U.reshape(nb - 1, bs, bs), s)
 
 
-@jax.jit
-def bt_factor(D, L, U):
+@partial(jax.jit, static_argnames=("blockinv",))
+def bt_factor(D, L, U, blockinv: str = "ns"):
     """Block-Thomas factorization: returns (Minv, T) with
     M_k = D_k - L_{k-1} Minv_{k-1} U_{k-1} (Schur recursion) and
     T_k = Minv_k U_k.
@@ -414,10 +462,10 @@ def bt_factor(D, L, U):
         def step(Minv_prev, ops):
             Dk, Lk, Uk_prev = ops
             T_prev = Minv_prev @ Uk_prev
-            Minv = _block_inv(Dk - Lk @ T_prev)
+            Minv = _block_inv(Dk - Lk @ T_prev, blockinv)
             return Minv, (Minv, T_prev)
 
-        Minv0 = _block_inv(D[0])
+        Minv0 = _block_inv(D[0], blockinv)
         _, (Minv_rest, T) = jax.lax.scan(step, Minv0, (D[1:], L, U))
         return jnp.concatenate([Minv0[None], Minv_rest], axis=0), T
 
@@ -471,12 +519,13 @@ class BlockTriFactorization:
     160 ms for the emulated-f64 apply and 4 s for a refactor."""
 
     def __init__(self, blocking: LineBlocking, ell, data64, arrays,
-                 dtype: str = "f32", apply_dtype: Optional[str] = None):
+                 dtype: str = "f32", apply_dtype: Optional[str] = None,
+                 blockinv: str = "ns"):
         _check_apply_dtype(dtype, apply_dtype)
         maps = blocking.device_maps()
         D, L, U, s = bt_assemble(data64, arrays["ell_cols"], maps,
                                  blocking.nb, blocking.bs, dtype)
-        self.Minv, self.T = bt_factor(D, L, U)
+        self.Minv, self.T = bt_factor(D, L, U, blockinv)
         self.L = L
         if (apply_dtype or dtype) == "f32" and dtype != "f32":
             self.Minv = self.Minv.astype(jnp.float32)
@@ -509,8 +558,8 @@ def _cr_pad(D, L, U):
             jnp.concatenate([U, Z]))
 
 
-@jax.jit
-def bt_factor_cr(D, L, U):
+@partial(jax.jit, static_argnames=("blockinv",))
+def bt_factor_cr(D, L, U, blockinv: str = "ns"):
     """Block CYCLIC REDUCTION factorization — the log-depth, batched-MXU
     alternative to the sequential block-Thomas scan (bt_factor).
 
@@ -546,7 +595,7 @@ def bt_factor_cr(D, L, U):
         n = D.shape[0]
         levels = []
         while n > 1:
-            Dinv_e = _block_inv(D[0::2])
+            Dinv_e = _block_inv(D[0::2], blockinv)
             Do = D[1::2]
             Ll, Lr = L[0::2], L[1::2]
             Ul, Ur = U[0::2], U[1::2]
@@ -557,7 +606,7 @@ def bt_factor_cr(D, L, U):
             U = -(G_r[:-1] @ Ul[1:])
             levels.append((Dinv_e, G_l, G_r, Lr, Ul))
             n //= 2
-        return tuple(levels), _block_inv(D)
+        return tuple(levels), _block_inv(D, blockinv)
 
 
 @jax.jit
@@ -607,12 +656,13 @@ class CRBlockTriFactorization:
     BlockTriFactorization, selected via pc_factor_algo='cr'."""
 
     def __init__(self, blocking: LineBlocking, ell, data64, arrays,
-                 dtype: str = "f32", apply_dtype: Optional[str] = None):
+                 dtype: str = "f32", apply_dtype: Optional[str] = None,
+                 blockinv: str = "ns"):
         _check_apply_dtype(dtype, apply_dtype)
         maps = blocking.device_maps()
         D, L, U, s = bt_assemble(data64, arrays["ell_cols"], maps,
                                  blocking.nb, blocking.bs, dtype)
-        self.levels, self.root = bt_factor_cr(D, L, U)
+        self.levels, self.root = bt_factor_cr(D, L, U, blockinv)
         if (apply_dtype or dtype) == "f32" and dtype != "f32":
             self.levels, self.root = _cr_cast(self.levels, self.root,
                                               jnp.float32)
@@ -645,8 +695,9 @@ def bt_equilibrate(ell_data, ell_cols, dtype: str = "f32"):
     return flat_p, s
 
 
-@partial(jax.jit, static_argnames=("nb", "bs"))
-def bt_factor_streamed(flat_p, sm, nb: int, bs: int):
+@partial(jax.jit, static_argnames=("nb", "bs", "blockinv"))
+def bt_factor_streamed(flat_p, sm, nb: int, bs: int,
+                       blockinv: str = "ns"):
     """Memory-lean block-Thomas factor: only the (nb, bs, bs) Minv stack
     is materialized; D/L/U blocks are scattered from the ELL data inside
     each scan step and never stored. Live set ~ (nb + 6) bs^2 f32 vs the
@@ -667,7 +718,7 @@ def bt_factor_streamed(flat_p, sm, nb: int, bs: int):
 
     with jax.default_matmul_precision("highest"):
         M0 = dense(sm["d_src"][0], sm["d_tgt"][0], sm["pad"][0])
-        Minv0 = _block_inv(M0)
+        Minv0 = _block_inv(M0, blockinv)
 
         def step(Minv_prev, xs):
             d_src, d_tgt, padk, l_src, l_i, l_j, u_src, u_i, u_j = xs
@@ -675,7 +726,7 @@ def bt_factor_streamed(flat_p, sm, nb: int, bs: int):
             Lk = dense(l_src, l_i * bs + l_j)
             Ukm1 = dense(u_src, u_i * bs + u_j)
             T_prev = Minv_prev @ Ukm1
-            Minv = _block_inv(Dk - Lk @ T_prev)
+            Minv = _block_inv(Dk - Lk @ T_prev, blockinv)
             return Minv, Minv
 
         xs = (sm["d_src"][1:], sm["d_tgt"][1:], sm["pad"][1:],
@@ -737,13 +788,14 @@ class StreamedBlockTriFactorization:
     same solve(b64)->dx64 interface as BlockTriFactorization."""
 
     def __init__(self, blocking: LineBlocking, ell, data64, arrays,
-                 dtype: str = "f32", apply_dtype: Optional[str] = None):
+                 dtype: str = "f32", apply_dtype: Optional[str] = None,
+                 blockinv: str = "ns"):
         _check_apply_dtype(dtype, apply_dtype)
         self._sm = blocking.streamed_maps()
         self.flat_p, self.s = bt_equilibrate(data64, arrays["ell_cols"],
                                              dtype)
         self.Minv = bt_factor_streamed(self.flat_p, self._sm,
-                                       blocking.nb, blocking.bs)
+                                       blocking.nb, blocking.bs, blockinv)
         if (apply_dtype or dtype) == "f32" and dtype != "f32":
             # see BlockTriFactorization: f64 factor, f32 apply
             self.Minv = self.Minv.astype(jnp.float32)

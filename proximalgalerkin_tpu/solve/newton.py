@@ -170,6 +170,7 @@ class NewtonSolver:
         fdt = "f64" if str(opts.opt("pc_factor_dtype", "f32")) in (
             "f64", "double") else "f32"
         adt = str(opts.opt("pc_factor_apply_dtype", fdt))
+        biv = str(opts.opt("pc_factor_blockinv", "ns"))
         lag = int(opts.opt("pc_factor_lag", 0) or 0)
         b = -F
         bnorm = float(jnp.linalg.norm(b))
@@ -210,7 +211,7 @@ class NewtonSolver:
                 return dx
         with self.timer.phase("bt_factor"):
             fact = Fact(blocking, ell, data64, arrays, dtype=fdt,
-                        apply_dtype=adt)
+                        apply_dtype=adt, blockinv=biv)
         if lag:
             self._lagged_bt = fact
         dx, _ = refine(fact, fresh=True)

@@ -804,6 +804,7 @@ class NonlinearProblem:
             else jnp.float64
         passes = int(pc_opts.get("ksp_refine_max", 8))
         algo = str(pc_opts.get("pc_factor_algo", "thomas"))
+        biv = str(pc_opts.get("pc_factor_blockinv", "ns"))
         if algo not in ("thomas", "cr"):
             raise ValueError(f"pc_factor_algo must be 'thomas' or 'cr', "
                              f"got {algo!r}")
@@ -815,7 +816,7 @@ class NonlinearProblem:
             def factor(data, ell_cols):
                 D, L, U, s = btm.bt_assemble(data, ell_cols, maps, nb,
                                              bs, fdt)
-                levels, root = btm.bt_factor_cr(D, L, U)
+                levels, root = btm.bt_factor_cr(D, L, U, biv)
                 levels, root = jax.tree.map(
                     lambda a: a.astype(adt_j), (levels, root))
                 return (levels, root, s)
@@ -828,7 +829,7 @@ class NonlinearProblem:
             def factor(data, ell_cols):
                 D, L, U, s = btm.bt_assemble(data, ell_cols, maps, nb,
                                              bs, fdt)
-                Minv, T = btm.bt_factor(D, L, U)
+                Minv, T = btm.bt_factor(D, L, U, biv)
                 return (Minv.astype(adt_j), T.astype(adt_j),
                         L.astype(adt_j), s)
 

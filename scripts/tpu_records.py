@@ -251,7 +251,7 @@ def multiphase_device(N=50, steps=5, algo="cr", chunk=0):
            "lvpp": [int(v) for v in r.lvpp_iterations]})
 
 
-def obstacle_unstructured(res=0.0085, tol=1e-8, platform=None):
+def obstacle_unstructured(res=0.0085, tol=1e-8, alpha_max=1e4):
     """All-device directions on an UNSTRUCTURED mesh at protocol scale
     (VERDICT r4 missing #2 / next-round #2): the reference's actual
     example-01 geometry — a gmsh-style disk (generate_mesh_gmsh.py:46-48)
@@ -265,12 +265,21 @@ def obstacle_unstructured(res=0.0085, tol=1e-8, platform=None):
     from proximalgalerkin_tpu.models.obstacle import solve_obstacle_problem
     t0 = time.time()
     mesh = create_disk_mesh(res=res)
+    # f64 factor AND f64 apply (the deep-contact equilibration scale,
+    # s ~ 1e8, overflows an f32-cast apply) with the RECURSIVE-SCHUR
+    # block inverse: the default f32+Newton-Schulz block inverse has no
+    # digits at the deep-contact block cond (~1e16, cross-scale u-psi
+    # coupling) and NaN'd this record at alpha 16, where
+    # pc_factor_blockinv='schur' (real f64 elimination depth,
+    # la/blocktri._block_inv_schur) matches host-LU counts through
+    # alpha 1e4. Alpha capped at 1e4 — at 1e5 the mixed model's
+    # exp(psi) NaNs the residual on the HOST LU path too.
     opts = device_direct(**({"pc_factor_dtype": "f64",
-                             "pc_factor_apply_dtype": "f32",
+                             "pc_factor_blockinv": "schur",
                              "pc_factor_lag": 1}
                             if not _USE_LU else {}))
     prob, r = solve_obstacle_problem(
-        mesh, polynomial_order=1, tol_exit=tol,
+        mesh, polynomial_order=1, tol_exit=tol, alpha_max=alpha_max,
         maximum_number_of_outer_loop_iterations=60,
         solver_options=opts, verbose=True)
     _emit(f"obstacle_unstructured_res{res}", time.time() - t0,
