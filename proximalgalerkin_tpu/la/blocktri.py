@@ -177,7 +177,13 @@ def bfs_level_sets(A) -> Optional[np.ndarray]:
             lev[frontier] = d
         return lev
 
-    lev = bfs(0)
+    # start from a max-degree node: node 0 can be ISOLATED (e.g. an
+    # untouched far-halo dof of the distributed ext graphs), and a BFS
+    # started there never leaves it — the pseudo-peripheral iteration
+    # then collapses every level to 0 (measured: nb=1, bs=ext_total on
+    # the 96^2 distributed subdomains, i.e. a full dense factor)
+    deg = np.diff(A.indptr)
+    lev = bfs(int(np.argmax(deg)))
     best = None
     for _ in range(3):   # pseudo-peripheral iterations
         reached = lev >= 0
